@@ -1,0 +1,153 @@
+"""GriTS — Grid Table Similarity (topology / content / location), from the
+published formulation (Smock, Pesala & Abraham, "GriTS: Grid table
+similarity metric for table structure recognition", 2022).
+
+Reference parity target: packages/docling-metrics-table/docling_metrics_table/
+utils/grits.py (factored 2D-MSS 89-236; rewards 238-275; grids 277-316).
+This is an independent implementation of the same published algorithm:
+
+1. Tables become dense 2D grids of cell entries (text, bbox, relative-span
+   4-vector) from the cell list's row_nums/column_nums.
+2. ``_align_1d`` — order-preserving sequence alignment DP maximizing summed
+   rewards (LCS-with-weights).
+3. Factored 2D-MSS: align row sequences (reward between two rows = 1D
+   alignment over their cells), align column sequences on the transpose,
+   then sum the cell rewards implied by the (row-match × column-match)
+   product — the paper's factored approximation of the NP-hard 2D-MSS.
+4. GriTS_f = 2·reward_sum / (n_cells_a + n_cells_b).
+
+Cell similarity per task: topology = IoU of relative-span rectangles;
+content = 2·|LCS| / (|s1|+|s2|) over characters; location = bbox IoU.
+"""
+
+from __future__ import annotations
+
+from difflib import SequenceMatcher
+
+import numpy as np
+
+from docling_metrics_spark.kernels.layout import iou_matrix
+
+
+def cells_to_grid(cells: list[dict], field: str):
+    """Dense (rows × cols) grid of per-cell values; None where empty.
+
+    field: 'text' | 'bbox' | 'relspan'."""
+    if not cells:
+        return []
+    n_rows = 1 + max(max(c["row_nums"]) for c in cells)
+    n_cols = 1 + max(max(c["column_nums"]) for c in cells)
+    grid = [[None] * n_cols for _ in range(n_rows)]
+    for c in cells:
+        r0, r1 = min(c["row_nums"]), max(c["row_nums"])
+        c0, c1 = min(c["column_nums"]), max(c["column_nums"])
+        for i in c["row_nums"]:
+            for j in c["column_nums"]:
+                if field == "text":
+                    grid[i][j] = c.get("cell_text") or ""
+                elif field == "bbox":
+                    grid[i][j] = c.get("bbox")
+                else:  # relative span 4-vector
+                    grid[i][j] = (c0 - j, c1 - j + 1, r0 - i, r1 - i + 1)
+    return grid
+
+
+def lcs_similarity(s1: str, s2: str) -> float:
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    m = sum(b.size for b in SequenceMatcher(None, s1, s2).get_matching_blocks())
+    return 2.0 * m / (len(s1) + len(s2))
+
+
+def _span_iou(a, b) -> float:
+    """IoU of two relative-span rectangles (c0, c1, r0, r1)."""
+    w = min(a[1], b[1]) - max(a[0], b[0])
+    h = min(a[3], b[3]) - max(a[2], b[2])
+    inter = max(w, 0) * max(h, 0)
+    area_a = (a[1] - a[0]) * (a[3] - a[2])
+    area_b = (b[1] - b[0]) * (b[3] - b[2])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _bbox_iou(a, b) -> float:
+    if a is None or b is None:
+        return 0.0
+    return float(iou_matrix(np.array([a]), np.array([b]))[0, 0])
+
+
+def cell_reward(task: str):
+    if task == "content":
+        return lambda a, b: lcs_similarity(a or "", b or "")
+    if task == "location":
+        return _bbox_iou
+    if task == "topology":
+        return lambda a, b: 0.0 if (a is None or b is None) else _span_iou(a, b)
+    raise ValueError(task)
+
+
+def align_1d(seq_a, seq_b, reward_fn) -> tuple[float, list[tuple[int, int]]]:
+    """Order-preserving max-reward alignment (weighted LCS DP)."""
+    n, m = len(seq_a), len(seq_b)
+    if n == 0 or m == 0:
+        return 0.0, []
+    score = np.zeros((n + 1, m + 1))
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            r = reward_fn(seq_a[i - 1], seq_b[j - 1])
+            score[i, j] = max(score[i - 1, j], score[i, j - 1], score[i - 1, j - 1] + r)
+    # Backtrack the matching.
+    pairs: list[tuple[int, int]] = []
+    i, j = n, m
+    while i > 0 and j > 0:
+        if score[i, j] == score[i - 1, j]:
+            i -= 1
+        elif score[i, j] == score[i, j - 1]:
+            j -= 1
+        else:
+            pairs.append((i - 1, j - 1))
+            i -= 1
+            j -= 1
+    pairs.reverse()
+    return float(score[n, m]), pairs
+
+
+def _transpose(grid):
+    return [list(col) for col in zip(*grid)] if grid else []
+
+
+def grits(cells_a: list[dict], cells_b: list[dict], task: str) -> float:
+    """GriTS f-score for one task over two cell lists."""
+    field = {"topology": "relspan", "content": "text", "location": "bbox"}[task]
+    ga, gb = cells_to_grid(cells_a, field), cells_to_grid(cells_b, field)
+    na = sum(len(r) for r in ga)
+    nb = sum(len(r) for r in gb)
+    if na == 0 and nb == 0:
+        return 1.0
+    if na == 0 or nb == 0:
+        return 0.0
+    reward = cell_reward(task)
+
+    def row_reward(row_a, row_b):
+        s, _ = align_1d(row_a, row_b, reward)
+        return s / max(len(row_a), len(row_b))
+
+    _, row_pairs = align_1d(ga, gb, row_reward)
+    _, col_pairs = align_1d(_transpose(ga), _transpose(gb), row_reward)
+
+    total = 0.0
+    col_map = dict(col_pairs)
+    for ra, rb in row_pairs:
+        for ca, cb in col_map.items():
+            total += reward(ga[ra][ca], gb[rb][cb])
+    return 2.0 * total / (na + nb)
+
+
+def grits_all(cells_a: list[dict], cells_b: list[dict]) -> dict[str, float]:
+    return {
+        "grits_top": grits(cells_a, cells_b, "topology"),
+        "grits_con": grits(cells_a, cells_b, "content"),
+        "grits_loc": grits(cells_a, cells_b, "location"),
+    }

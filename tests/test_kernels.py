@@ -1,0 +1,297 @@
+"""Kernel unit tests — the single-process oracle layer.
+
+Test strategy mirrors the reference (SURVEY.md §5): golden values at
+rel-tol 1e-6, error-sentinel semantics, round-trip invariants,
+cross-implementation consistency (bit-parallel vs DP Levenshtein, the way
+the reference cross-checks C++ vs Python at
+benchmarks/edit_distance_benchmark.py:90-102).
+"""
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_metrics_spark.kernels.levenshtein import (
+    levenshtein,
+    levenshtein_dp,
+    normalized_edit_distance,
+)
+from docling_metrics_spark.kernels.textmetrics import (
+    evaluate_text_pair,
+    set_f_measure,
+    set_precision,
+    set_recall,
+)
+from docling_metrics_spark.kernels.tokenize import treebank_tokenize
+from docling_metrics_spark.kernels import teds as T
+from docling_metrics_spark.kernels import grits as G
+from docling_metrics_spark.kernels.layout import (
+    confusion_matrix_from_masks,
+    confusion_metrics,
+    evaluate_map,
+    iou_matrix,
+    rasterize_multilabel,
+)
+from docling_metrics_spark.kernels.minhash import (
+    char_shingles,
+    hamming64,
+    jaccard,
+    minhash_estimate,
+    minhash_signature,
+    simhash,
+)
+
+REL = 1e-6  # golden tolerance, matching test_text_metrics.py:10
+
+
+# ---------------------------------------------------------------------------
+# Levenshtein
+# ---------------------------------------------------------------------------
+
+tokens = st.lists(st.sampled_from("abcdefg"), max_size=40)
+
+
+@given(tokens, tokens)
+@settings(max_examples=300, deadline=None)
+def test_levenshtein_bitparallel_matches_dp(a, b):
+    assert levenshtein(a, b) == levenshtein_dp(a, b)
+
+
+def test_normalized_edit_distance_semantics():
+    # reference docling_metrics_text.py:198-200
+    assert normalized_edit_distance([], []) == 0.0
+    assert normalized_edit_distance(["a"], []) == 1.0
+    assert normalized_edit_distance(["a", "b"], ["a", "c"]) == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_treebank_tokenize_basics():
+    assert treebank_tokenize("Hello, world!") == ["Hello", ",", "world", "!"]
+    assert treebank_tokenize("can't") == ["ca", "n't"]
+    assert treebank_tokenize("it's") == ["it", "'s"]
+    assert treebank_tokenize('"quoted"') == ["``", "quoted", "''"]
+    assert treebank_tokenize("wait... what?") == ["wait", "...", "what", "?"]
+    assert treebank_tokenize("(parens)") == ["(", "parens", ")"]
+    assert treebank_tokenize("") == []
+    assert treebank_tokenize("end.") == ["end", "."]
+
+
+# ---------------------------------------------------------------------------
+# Text pair metrics + sentinels
+# ---------------------------------------------------------------------------
+
+
+def test_set_metrics():
+    a, b = {"x", "y", "z"}, {"y", "z", "w"}
+    assert set_precision(a, b) == pytest.approx(2 / 3, rel=REL)
+    assert set_recall(a, b) == pytest.approx(2 / 3, rel=REL)
+    assert set_f_measure(a, b) == pytest.approx(2 / 3, rel=REL)
+    assert set_precision(a, set()) is None
+
+
+def test_identical_pair_scores():
+    s = evaluate_text_pair("the quick brown fox jumps over", "the quick brown fox jumps over")
+    assert s.f1_score == 1.0
+    assert s.edit_distance_score == 0.0
+    assert s.bleu_score == pytest.approx(1.0, rel=REL)
+
+
+def test_empty_prediction_sentinels():
+    # reference test_text_metrics.py:61-81: empty text_b → error_score for
+    # f1/precision/bleu; recall 0; edit distance 1.
+    s = evaluate_text_pair("some ground truth text", "")
+    assert s.f1_score == -1.0
+    assert s.precision_score == -1.0
+    assert s.bleu_score == -1.0
+    assert s.recall_score == 0.0
+    assert s.edit_distance_score == 1.0
+
+    s2 = evaluate_text_pair("some ground truth text", "", error_score=-2.0)
+    assert s2.f1_score == -2.0 and s2.bleu_score == -2.0
+
+
+# ---------------------------------------------------------------------------
+# TEDS
+# ---------------------------------------------------------------------------
+
+H1 = (
+    '<table><tr><td>a b</td><td colspan="2">c</td></tr>'
+    "<tr><td>x</td><td>y</td><td>z</td></tr></table>"
+)
+H2 = (
+    '<table><tr><td>a b</td><td colspan="2">d</td></tr>'
+    "<tr><td>x</td><td>y</td></tr></table>"
+)
+
+
+def test_bracket_roundtrip():
+    b1 = T.html_to_bracket(H1)
+    assert T.tree_to_bracket(T.bracket_to_tree(b1)) == b1
+
+
+def test_html_bracket_html_fixed_point():
+    # reference round-trip invariant test_teds_metric.py:292-304
+    b1 = T.html_to_bracket(H1)
+    html = T.bracket_to_html(b1)
+    assert T.html_to_bracket(html) == b1
+
+
+def test_teds_identical_is_one():
+    teds, na, nb = T.teds_from_brackets(T.html_to_bracket(H1), T.html_to_bracket(H1))
+    assert teds == 1.0 and na == nb == 8
+
+
+def test_teds_known_value():
+    # H2 differs from H1 by one cell-content char swap (c→d: rename cost 1.0
+    # via char-levenshtein 1/1) and one deleted cell (cost 1): TED = 2,
+    # max size = 8 → TEDS = 0.75.
+    teds, na, nb = T.teds_from_brackets(T.html_to_bracket(H1), T.html_to_bracket(H2))
+    assert na == 8 and nb == 7
+    assert teds == pytest.approx(0.75, rel=REL)
+
+
+def test_teds_structure_only():
+    teds = T.teds_from_html(H1, H2, structure_only=True)
+    # content ignored → only the missing cell costs: 1 - 1/8
+    assert teds == pytest.approx(1 - 1 / 8, rel=REL)
+
+
+def test_teds_span_mismatch_costs_rename():
+    h_a = "<table><tr><td>x</td></tr></table>"
+    h_b = '<table><tr><td colspan="2">x</td></tr></table>'
+    teds, _, _ = T.teds_from_brackets(T.html_to_bracket(h_a), T.html_to_bracket(h_b))
+    assert teds == pytest.approx(1 - 1 / 3, rel=REL)
+
+
+def test_malformed_bracket_raises():
+    # reference: broken.bracket must error (test_teds_metric.py:277-287)
+    with pytest.raises(ValueError):
+        T.bracket_to_tree('{"tag": table{"tag": tr')
+    with pytest.raises(ValueError):
+        T.bracket_to_tree("not a bracket")
+
+
+def test_th_normalized_to_td():
+    tree = T.html_to_tree("<table><tr><th>h</th></tr></table>")
+    cell = tree.children[0].children[0]
+    assert cell.tag == "td" and cell.content == ["h"]
+
+
+def test_zhang_shasha_vs_bruteforce_small():
+    # independent check: TED between a tree and itself plus one leaf == 1
+    t1 = T.bracket_to_tree(T.html_to_bracket(H1))
+    h_extra = (
+        '<table><tr><td>a b</td><td colspan="2">c</td></tr>'
+        "<tr><td>x</td><td>y</td><td>z</td><td>w</td></tr></table>"
+    )
+    t2 = T.bracket_to_tree(T.html_to_bracket(h_extra))
+    assert T.tree_edit_distance(t1, t2) == 1.0
+    assert T.tree_edit_distance(t1, t1) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# GriTS
+# ---------------------------------------------------------------------------
+
+CELLS = [
+    {"bbox": [0.0, 0.0, 10.0, 10.0], "cell_text": "a", "row_nums": [0], "column_nums": [0]},
+    {"bbox": [10.0, 0.0, 20.0, 10.0], "cell_text": "b", "row_nums": [0], "column_nums": [1]},
+    {"bbox": [0.0, 10.0, 10.0, 20.0], "cell_text": "c", "row_nums": [1], "column_nums": [0]},
+    {"bbox": [10.0, 10.0, 20.0, 20.0], "cell_text": "d", "row_nums": [1], "column_nums": [1]},
+]
+
+
+def test_grits_identical():
+    r = G.grits_all(CELLS, CELLS)
+    assert r == {"grits_top": 1.0, "grits_con": 1.0, "grits_loc": 1.0}
+
+
+def test_grits_content_perturbation():
+    import copy
+
+    cells2 = copy.deepcopy(CELLS)
+    cells2[3]["cell_text"] = "zz"
+    r = G.grits_all(CELLS, cells2)
+    assert r["grits_top"] == 1.0 and r["grits_loc"] == 1.0
+    assert r["grits_con"] == pytest.approx(0.75, rel=REL)
+
+
+def test_grits_empty():
+    assert G.grits([], [], "content") == 1.0
+    assert G.grits(CELLS, [], "content") == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Layout: IoU / mAP / confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def test_iou():
+    import numpy as np
+
+    m = iou_matrix(np.array([[0, 0, 10, 10]]), np.array([[5, 0, 15, 10]]))
+    assert m[0, 0] == pytest.approx(50 / 150, rel=REL)
+
+
+def test_map_perfect_and_miss():
+    gt = [(0, [0, 0, 10, 10]), (1, [20, 20, 40, 40])]
+    perfect = [(c, b, 0.9) for c, b in gt]
+    r = evaluate_map(gt, perfect)
+    assert r["map"] == 1.0 and r["map_50"] == 1.0 and r["mar_100"] == 1.0
+    r2 = evaluate_map(gt, [(0, [0, 0, 10, 10], 0.9)])  # class 1 missed
+    assert r2["map"] == pytest.approx(0.5, rel=REL)
+
+
+def test_map_wrong_class_is_zero():
+    gt = [(0, [0, 0, 10, 10])]
+    r = evaluate_map(gt, [(1, [0, 0, 10, 10], 0.9)])
+    assert r["map"] == 0.0
+
+
+def test_confusion_matrix_exact_match_diagonal():
+    boxes = [(0, [0.0, 0.0, 5.0, 5.0]), (1, [5.0, 5.0, 10.0, 10.0])]
+    img = rasterize_multilabel(boxes, 12, 10, n_classes=3)
+    cm = confusion_matrix_from_masks(img, img, n_classes=3)
+    assert cm.sum() == pytest.approx(120.0)  # total weight == pixel count
+    import numpy as np
+
+    off_diag = cm - np.diag(np.diag(cm))
+    assert off_diag.sum() == 0.0
+    m = confusion_metrics(cm)
+    assert m["f1_mean"] == 1.0
+
+
+def test_confusion_matrix_mismatch():
+    gt = rasterize_multilabel([(0, [0.0, 0.0, 10.0, 10.0])], 10, 10, 2)
+    pred = rasterize_multilabel([(1, [0.0, 0.0, 10.0, 10.0])], 10, 10, 2)
+    cm = confusion_matrix_from_masks(gt, pred, 2)
+    assert cm[0, 1] == 100.0 and cm[0, 0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimates_jaccard():
+    a = char_shingles("the quick brown fox jumps over the lazy dog", 5)
+    b = char_shingles("the quick brown fox jumped over the lazy dog", 5)
+    true_j = jaccard(a, b)
+    est = minhash_estimate(minhash_signature(a, 256), minhash_signature(b, 256))
+    assert abs(est - true_j) < 0.15
+    assert minhash_estimate(minhash_signature(a, 64), minhash_signature(a, 64)) == 1.0
+
+
+def test_simhash_near_duplicates_close():
+    t1 = "the quick brown fox jumps over the lazy dog again and again".split()
+    t2 = "the quick brown fox jumps over the lazy cat again and again".split()
+    t3 = "completely different words describing other things entirely here".split()
+    d_near = hamming64(simhash(t1), simhash(t2))
+    d_far = hamming64(simhash(t1), simhash(t3))
+    assert d_near < d_far
