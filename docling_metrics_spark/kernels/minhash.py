@@ -25,6 +25,13 @@ def stable_hash64(data: str | bytes) -> int:
     return struct.unpack("<Q", hashlib.blake2b(data, digest_size=8).digest())[0]
 
 
+def stable_hash32(data: str | bytes) -> int:
+    """Deterministic 32-bit hash (blake2b-based; process-independent)."""
+    if isinstance(data, str):
+        data = data.encode("utf-8", "surrogatepass")
+    return struct.unpack("<I", hashlib.blake2b(data, digest_size=4).digest())[0]
+
+
 def char_shingles(text: str, k: int = 5) -> set[int]:
     """Set of 64-bit hashes of the k-character shingles of ``text``."""
     if len(text) < k:
@@ -48,8 +55,11 @@ def jaccard(a: set, b: set) -> float:
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    # Multiply-shift family (Dietzfelbinger et al.): h_i(x) = a_i*x + b_i
+    # mod 2^64 with odd a_i — wraps naturally in uint64, mixes well, and
+    # vectorizes exactly (no arbitrary-precision math).
+    a = rng.randint(0, _MAX64, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.randint(0, _MAX64, size=num_perm, dtype=np.uint64)
     return a, b
 
 
@@ -58,7 +68,7 @@ _PERM_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
 
 def minhash_signature(shingle_hashes: set[int], num_perm: int = 128,
                       seed: int = 42) -> np.ndarray:
-    """MinHash signature via (a·x + b) mod p universal hashing."""
+    """MinHash signature via multiply-shift hashing mod 2^64."""
     key = (num_perm, seed)
     if key not in _PERM_CACHE:
         _PERM_CACHE[key] = _perm_params(num_perm, seed)
@@ -66,9 +76,10 @@ def minhash_signature(shingle_hashes: set[int], num_perm: int = 128,
     if not shingle_hashes:
         return np.full(num_perm, _MAX64, dtype=np.uint64)
     x = np.fromiter(shingle_hashes, dtype=np.uint64, count=len(shingle_hashes))
-    # (a*x + b) mod p, computed in python-int space to avoid overflow.
-    ax = (x[:, None].astype(object) * a[None, :].astype(object) + b.astype(object)) % _MERSENNE
-    return np.min(ax, axis=0).astype(np.uint64)
+    # (a*x + b) mod 2^64 via natural uint64 wraparound (multiply-shift family).
+    with np.errstate(over="ignore"):
+        ax = x[:, None] * a[None, :] + b[None, :]
+    return np.min(ax, axis=0)
 
 
 def minhash_bands(signature: np.ndarray, num_bands: int = 32) -> list[int]:

@@ -1,0 +1,271 @@
+"""Vectorized pandas/Arrow UDFs wrapping the pure-Python kernels.
+
+Per the input_hint mandate ("no per-row Python"), every kernel crosses the
+JVM↔Python boundary through Arrow-batched pandas UDFs. The relational
+skeleton around them (joins, filters, span ordering, equality, aggregation)
+stays JVM-side in whole-stage codegen.
+
+Reference lifecycle mapping (SURVEY.md §3.1): the reference's per-worker
+constructor state (nltk downloads, HF evaluator init,
+docling_metrics_text.py:48-64) becomes module import on the executor's
+Python worker — these kernels are dependency-free, so init cost is nil.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from docling_metrics_spark.extraction.html_extract import extract_spans_from_html
+from docling_metrics_spark.kernels.layout import (
+    confusion_matrix_from_masks,
+    evaluate_map,
+    rasterize_multilabel,
+)
+from docling_metrics_spark.kernels.minhash import (
+    char_shingles,
+    minhash_bands,
+    minhash_signature,
+    simhash,
+)
+from docling_metrics_spark.kernels.teds import teds_from_brackets, html_to_bracket
+from docling_metrics_spark.kernels.textmetrics import evaluate_text_pair
+from docling_metrics_spark.kernels.grits import grits_all
+
+SPAN_STRUCT = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+SPANS_TYPE = ArrayType(SPAN_STRUCT)
+
+TEXT_SCORES_TYPE = StructType(
+    [
+        StructField("f1_score", DoubleType()),
+        StructField("precision_score", DoubleType()),
+        StructField("recall_score", DoubleType()),
+        StructField("edit_distance_score", DoubleType()),
+        StructField("bleu_score", DoubleType()),
+        StructField("meteor_score", DoubleType()),
+    ]
+)
+
+TEDS_DOC_TYPE = StructType(
+    [
+        StructField("teds_mean", DoubleType()),
+        StructField("n_tables_gt", IntegerType()),
+        StructField("n_tables_pred", IntegerType()),
+        StructField("n_pairs", IntegerType()),
+        StructField("error_count", IntegerType()),
+    ]
+)
+
+MAP_TYPE = StructType(
+    [
+        StructField("map", DoubleType()),
+        StructField("map_50", DoubleType()),
+        StructField("map_75", DoubleType()),
+        StructField("mar_100", DoubleType()),
+    ]
+)
+
+GRITS_TYPE = StructType(
+    [
+        StructField("grits_top", DoubleType()),
+        StructField("grits_con", DoubleType()),
+        StructField("grits_loc", DoubleType()),
+    ]
+)
+
+
+@F.pandas_udf(SPANS_TYPE)
+def extract_spans_udf(raw_html: pd.Series) -> pd.Series:
+    """HTML boilerplate strip → ordered spans. The flagship extraction op."""
+    return raw_html.map(extract_spans_from_html)
+
+
+@F.pandas_udf(TEXT_SCORES_TYPE)
+def text_scores_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+    """Six text metrics per (gt, pred) pair — TextMetrics.evaluate_sample
+    re-expressed as one Arrow batch kernel."""
+    rows = [
+        evaluate_text_pair(a if a is not None else "", b if b is not None else "").__dict__
+        for a, b in zip(text_a, text_b)
+    ]
+    return pd.DataFrame(rows)
+
+
+def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None) -> dict:
+    """Order-paired TEDS over a document's table spans.
+
+    Tables are paired by order of appearance (the i-th GT table vs the i-th
+    predicted table); unpaired tables score 0 — analogous to the reference's
+    missing-prediction default semantics (data_loader.py:122-134)."""
+    # Arrow hands array columns to Python as numpy arrays.
+    gt_tables = list(gt_tables) if gt_tables is not None else []
+    pred_tables = list(pred_tables) if pred_tables is not None else []
+    n = max(len(gt_tables), len(pred_tables))
+    if n == 0:
+        return {
+            "teds_mean": None,
+            "n_tables_gt": 0,
+            "n_tables_pred": 0,
+            "n_pairs": 0,
+            "error_count": 0,
+        }
+    scores: list[float] = []
+    errors = 0
+    for i in range(n):
+        if i >= len(gt_tables) or i >= len(pred_tables):
+            scores.append(0.0)
+            continue
+        try:
+            teds, _, _ = teds_from_brackets(
+                html_to_bracket(gt_tables[i]), html_to_bracket(pred_tables[i])
+            )
+            scores.append(teds)
+        except ValueError:
+            errors += 1
+            scores.append(0.0)
+    return {
+        "teds_mean": sum(scores) / len(scores),
+        "n_tables_gt": len(gt_tables),
+        "n_tables_pred": len(pred_tables),
+        "n_pairs": min(len(gt_tables), len(pred_tables)),
+        "error_count": errors,
+    }
+
+
+@F.pandas_udf(TEDS_DOC_TYPE)
+def teds_doc_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataFrame:
+    """Per-document TEDS over table-span HTML lists (pre-filtered JVM-side
+    with ``filter(spans, s -> s.kind = 'table')`` so only table text crosses
+    the Arrow boundary — column pruning for nested data)."""
+    return pd.DataFrame(
+        [_doc_teds(g, p) for g, p in zip(gt_tables, pred_tables)]
+    )
+
+
+def _boxes_to_tuples(boxes) -> tuple[list, list]:
+    gt, pred = [], []
+    for b in boxes or []:
+        if b["score"] is None:
+            gt.append((int(b["category_id"]), list(b["bbox"])))
+        else:
+            pred.append((int(b["category_id"]), list(b["bbox"]), float(b["score"])))
+    return gt, pred
+
+
+@F.pandas_udf(MAP_TYPE)
+def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
+    """Per-document COCO mAP over layout boxes."""
+    rows = []
+    for g, p in zip(gt_boxes, pred_boxes):
+        gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
+        pr = [
+            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
+            for b in (p if p is not None else [])
+        ]
+        rows.append(evaluate_map(gt, pr))
+    return pd.DataFrame(rows)
+
+
+def make_tore_partial_udf(n_classes: int, page_width: int, page_height: int):
+    """Per-document flattened confusion-matrix partial (ARRAY<DOUBLE>).
+
+    The dataset-level matrix is then a plain ``agg(sum)`` over array slots —
+    the partial+final pattern of the reference's TORE dataset aggregation
+    (tore_layout_evaluator.py:224-245) mapped onto Spark's native two-stage
+    aggregation."""
+    size = (n_classes + 1) ** 2
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def tore_partial_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
+        out = []
+        for g, p in zip(gt_boxes, pred_boxes):
+            gt = [
+                (int(b["category_id"]), list(b["bbox"]))
+                for b in (g if g is not None else [])
+            ]
+            pr = [
+                (int(b["category_id"]), list(b["bbox"]))
+                for b in (p if p is not None else [])
+            ]
+            gt_img = rasterize_multilabel(gt, page_width, page_height, n_classes)
+            pred_img = rasterize_multilabel(pr, page_width, page_height, n_classes)
+            cm = confusion_matrix_from_masks(gt_img, pred_img, n_classes)
+            out.append(cm.ravel().tolist())
+        return pd.Series(out)
+
+    assert tore_partial_udf.returnType.elementType == DoubleType()
+    tore_partial_udf._cm_size = size  # introspection aid
+    return tore_partial_udf
+
+
+@F.pandas_udf(GRITS_TYPE)
+def grits_doc_udf(cells_a: pd.Series, cells_b: pd.Series) -> pd.DataFrame:
+    """GriTS over two cell lists (array<struct<bbox,cell_text,row_nums,column_nums>>)."""
+    rows = []
+    for a, b in zip(cells_a, cells_b):
+        ca = [dict(c) for c in (a if a is not None else [])]
+        cb = [dict(c) for c in (b if b is not None else [])]
+        rows.append(grits_all(ca, cb))
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def minhash_bands_udf(text: pd.Series) -> pd.Series:
+    """LSH band keys (hex strings) for near-dup candidate generation."""
+    out = []
+    for t in text:
+        sig = minhash_signature(char_shingles(t or "", 5), num_perm=128)
+        out.append([format(k, "016x") for k in minhash_bands(sig, num_bands=32)])
+    return pd.Series(out)
+
+
+@F.pandas_udf(StringType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    """64-bit SimHash as zero-padded hex (string keeps it unsigned-safe)."""
+    return pd.Series(
+        [format(simhash((t or "").split()), "016x") for t in text]
+    )
+
+
+def make_lsh_sig_udf(dim: int, n_planes: int = 8, seed: int = 42):
+    """Random-hyperplane LSH signature UDF for embedding ANN bucketing
+    (Charikar 2002 SRP-LSH). The plane matrix is captured in the closure and
+    shipped once per executor."""
+    import numpy as np
+
+    planes = np.random.RandomState(seed).randn(n_planes, dim)
+
+    @F.pandas_udf(StringType())
+    def lsh_sig_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())
+        bits = (mat @ planes.T) > 0
+        return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
+
+    return lsh_sig_udf
+
+
+@F.pandas_udf(ArrayType(LongType()))
+def minhash_sig_udf(text: pd.Series) -> pd.Series:
+    """128-perm MinHash signature as array<bigint> (uint64 bit-view), so
+    banding, bucket hashing, and pairwise verification all stay JVM-side."""
+    out = []
+    for t in text:
+        sig = minhash_signature(char_shingles(t or "", 5), num_perm=128)
+        out.append(sig.view("int64").tolist())
+    return pd.Series(out)

@@ -1,0 +1,906 @@
+"""Named queries over the driver testdata + their DuckDB oracle SQL.
+
+Every implemented operator family from SURVEY.md §2 gets a named query here
+(the driver's correctness gate runs each Spark query against its DuckDB
+oracle at sf0.01: row count + schema + order-insensitive value hash).
+
+Conventions:
+- every computed column is aliased identically in Spark and SQL,
+- floating aggregates are rounded (6 decimals for ratios, 2 for monetary
+  sums) in BOTH engines so cross-engine summation order can't flip the hash,
+- each callable takes (spark, sf_dir) and loads only the tables it needs —
+  filters/projections stay above the parquet scan so Catalyst pushes them
+  down (verified via .explain in tests/bench).
+
+Spark-first notes are inline: broadcast hints on dimension joins, no UDFs in
+any oracle-checked query (pure built-in/codegen), window functions over
+explicit partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir, *a, **kw):
+            # Executors need the package for UDF deserialization regardless
+            # of the driver's cwd/sys.path (spark-submit --py-files twin).
+            from docling_metrics_spark.shipping import ensure_py_files
+
+            ensure_py_files(spark)
+            return fn(spark, sf_dir, *a, **kw)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — TPC-H Q1 shape (scan → filter → groupBy partial+final)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins — multi-way equi-join with broadcast dimensions (TPC-H Q3/Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_revenue_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(o.o_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), "orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "regional_customer_volume",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY region_name, nation_name
+    """,
+)
+def regional_customer_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters/projections — pushdown-friendly scan
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "discounted_revenue",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def discounted_revenue(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 semi/anti joins — the reference's missing-prediction branch
+# (data_loader.py:122-134) as left-anti; GT∩pred as left-semi
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_no_big_lineitem",
+    """
+    SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def orders_no_big_lineitem(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("priority")
+    )
+
+
+@query(
+    "segments_with_urgent_orders",
+    """
+    SELECT c.c_mktsegment AS segment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+def segments_with_urgent_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 pair-construction scan + §2.7 edit distance (char-level, both engines
+# have native levenshtein — the token-level kernel is oracle'd in pytest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_pair_edit_distance",
+    """
+    SELECT a.doc_id AS gt_id, b.doc_id AS pred_id,
+           round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / greatest(length(a.text), length(b.text), 1), 6) AS char_edit_distance
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 250
+    WHERE a.doc_id < 50
+    ORDER BY gt_id
+    """,
+)
+def doc_pair_edit_distance(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 50).select(
+        F.col("doc_id").alias("gt_id"), F.col("text").alias("text_a")
+    )
+    b = d.select((F.col("doc_id")).alias("pred_id"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, b.pred_id == a.gt_id + 250)
+        .select(
+            "gt_id",
+            "pred_id",
+            F.round(
+                F.levenshtein("text_a", "text_b").cast("double")
+                / F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)),
+                6,
+            ).alias("char_edit_distance"),
+        )
+        .orderBy("gt_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / sorts / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_order_per_customer",
+    """
+    SELECT custkey, orderkey, totalprice FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    ORDER BY custkey
+    """,
+)
+def top_order_per_customer(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "stats_summary",
+    """
+    SELECT count(*) AS n,
+           round(avg(o_totalprice), 4) AS mean_price,
+           round(stddev_samp(o_totalprice), 4) AS std_price,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders
+    """,
+)
+def stats_summary(spark, sf_dir):
+    # compute_stats analog (layout/utils/stats.py:71-93)
+    return _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("std_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "price_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1 ORDER BY bucket
+    """,
+)
+def price_histogram(spark, sf_dir):
+    # 20-bin histogram analog (stats.py:71-93) with deterministic int buckets
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("bucket")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 rollup/cube (grouping sets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_region_rollup",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name, count(*) AS n
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY region_name NULLS FIRST, nation_name NULLS FIRST
+    """,
+)
+def nation_region_rollup(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("region_name").asc_nulls_first(),
+            F.col("nation_name").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nation_set_ops",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'union' AS op, count(*) AS n FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    ORDER BY op
+    """,
+)
+def nation_set_ops(spark, sf_dir):
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    rows = [
+        cn.intersect(sn).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n"),
+        cn.union(sn).distinct().agg(F.count("*").alias("n")).select(F.lit("union").alias("op"), "n"),
+        cn.subtract(sn).agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped event analytics (batch over event-time buckets + sessions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type
+    """,
+)
+def events_hourly(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000.0)).cast("bigint").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@query(
+    "user_sessions",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(1 + sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+    FROM (
+        SELECT user_id,
+               epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    )
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def user_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("epoch", F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000.0))
+        .withColumn("gap", F.col("epoch") - F.lag("epoch").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (1 + F.sum(F.when(F.col("gap") > 1800, 1).otherwise(0))).alias(
+                "n_sessions"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops over `documents`: token stats, quality, fingerprints, dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stats_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def token_stats_by_lang(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks), 6).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is"]
+
+
+@query(
+    "doc_quality_scores",
+    f"""
+    SELECT source,
+           round(avg(CAST(len(list_filter(string_split(text, ' '),
+                       t -> list_contains({_STOPWORDS!r}, t))) AS DOUBLE)
+                     / greatest(len(string_split(text, ' ')), 1)), 6) AS stopword_ratio,
+           round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def doc_quality_scores(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = stop_cnt.cast("double") / F.greatest(F.size(toks), F.lit(1))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.round(F.avg(ratio), 6).alias("stopword_ratio"),
+            F.round(F.avg(F.size(toks).cast("double")), 6).alias("avg_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           count(*) - count(DISTINCT md5(text)) AS n_dups
+    FROM documents
+    """,
+)
+def exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_dups"),
+    )
+
+
+@query(
+    "doc_fingerprints",
+    """
+    SELECT doc_id, md5(lower(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) AS fingerprint
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-z0-9 ]", ""))).alias(
+            "fingerprint"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 1, 2)),
+                   i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')
+               )) AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / greatest(len(list_distinct(list_concat(a.shingles, b.shingles))), 1), 6)
+               AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE a.doc_id < 40
+    ORDER BY id_a
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # 3-gram shingles: positions 1 .. len-2 (1-based), i.e. sequence over
+    # slice(toks, i, 3). Mirror duckdb's range(1, max(len-1, 2)) exactly.
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+    )
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    a = sh.filter(F.col("doc_id") < 40).select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.greatest(F.size(F.array_union("sh_a", "sh_b")), F.lit(1))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .orderBy("id_a")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings: brute-force cosine top-k (baseline)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+         scored AS (
+             SELECT q.qid, e.vec_id,
+                    round(list_dot_product(q.qe, e.embedding)
+                          / greatest(sqrt(list_dot_product(q.qe, q.qe))
+                                     * sqrt(list_dot_product(e.embedding, e.embedding)),
+                                     1e-12), 4) AS cosine
+             FROM q CROSS JOIN embeddings e
+             WHERE e.vec_id != q.qid
+         )
+    SELECT qid, vec_id, cosine FROM (
+        SELECT qid, vec_id, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    ORDER BY qid, cosine DESC, vec_id
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                dot(F.col("qe"), F.col("embedding"))
+                / F.greatest(
+                    F.sqrt(dot(F.col("qe"), F.col("qe")))
+                    * F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
+                    F.lit(1e-12),
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .select("qid", "vec_id", "cosine")
+        .orderBy("qid", F.desc("cosine"), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (no DuckDB oracle → driver rows-only check;
+# their real oracles are the pytest golden/parity suites in tests/)
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark, sf_dir, cap: int = 2000):
+    """Deterministic interleaved corpus sized from the sf tier (same doc
+    count as the testdata documents table, capped for the heavy UDF ops)."""
+    from docling_metrics_spark.datagen import generate_documents_df
+
+    n = min(_t(spark, sf_dir, "documents").count(), cap)
+    return generate_documents_df(spark, n)
+
+
+@query("extract_spans_pipeline")
+def extract_spans_pipeline(spark, sf_dir):
+    """Flagship: HTML boilerplate strip → span equality → per-doc metrics."""
+    from docling_metrics_spark.pipeline import run_pipeline
+
+    return run_pipeline(_corpus(spark, sf_dir)).orderBy("doc_id")
+
+
+@query("extraction_summary")
+def extraction_summary(spark, sf_dir):
+    """Dataset-level salted two-stage aggregation of the flagship metrics."""
+    from docling_metrics_spark.pipeline import aggregate_metrics, run_pipeline
+
+    return aggregate_metrics(run_pipeline(_corpus(spark, sf_dir)))
+
+
+@query("token_edit_distance_pairs")
+def token_edit_distance_pairs(spark, sf_dir):
+    """Token-level text metrics (treebank tokenize + Myers Levenshtein +
+    set-P/R/F1 + BLEU + METEOR) over adjacent-doc pairs of the testdata
+    documents table — the reference TextMetrics.evaluate_sample as one
+    Arrow-batch kernel."""
+    from docling_metrics_spark.operators.udfs import text_scores_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("gt_id"), F.col("text").alias("text_a")
+    )
+    b = d.select(F.col("doc_id").alias("pred_id"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, F.col("pred_id") == F.col("gt_id") + 100)
+        .withColumn("scores", text_scores_udf("text_a", "text_b"))
+        .select("gt_id", "pred_id", "scores.*")
+        .orderBy("gt_id")
+    )
+
+
+@query("teds_table_pairs")
+def teds_table_pairs(spark, sf_dir):
+    """TEDS (Zhang–Shasha on serialized cell trees) per document over the
+    interleaved corpus' table spans."""
+    from docling_metrics_spark.operators.udfs import teds_doc_udf
+    from docling_metrics_spark.pipeline import _table_htmls
+
+    docs = _corpus(spark, sf_dir, cap=500)
+    return (
+        docs.withColumn("gt_tables", _table_htmls("spans"))
+        .withColumn("pred_tables", _table_htmls("pred_spans"))
+        .filter(F.size("gt_tables") > 0)
+        .withColumn("teds", teds_doc_udf("gt_tables", "pred_tables"))
+        .select("doc_id", "teds.*")
+        .orderBy("doc_id")
+    )
+
+
+@query("layout_map")
+def layout_map(spark, sf_dir):
+    """COCO-protocol mAP per document over layout boxes."""
+    from docling_metrics_spark.operators.udfs import map_doc_udf
+
+    docs = _corpus(spark, sf_dir, cap=500)
+    return (
+        docs.withColumn("m", map_doc_udf("gt_boxes", "pred_boxes"))
+        .select("doc_id", "m.*")
+        .orderBy("doc_id")
+    )
+
+
+@query("tore_confusion")
+def tore_confusion(spark, sf_dir):
+    """TORE-style dataset confusion matrix: per-doc partials (Arrow UDF) →
+    salted element-wise array sum → final P/R/F1 (partial+final pattern)."""
+    from docling_metrics_spark.kernels.datagen_meta import N_CATEGORIES
+    from docling_metrics_spark.operators.skew import salted_array_sum
+    from docling_metrics_spark.operators.udfs import make_tore_partial_udf
+
+    docs = _corpus(spark, sf_dir, cap=200)
+    udf = make_tore_partial_udf(N_CATEGORIES, 640, 811)
+
+    def scale_boxes(col):
+        return F.transform(
+            col,
+            lambda b: F.struct(
+                b.category_id.alias("category_id"),
+                F.transform(b.bbox, lambda v: v / 2.0).alias("bbox"),
+                b.score.alias("score"),
+            ),
+        )
+
+    partials = docs.select(
+        udf(scale_boxes(F.col("gt_boxes")), scale_boxes(F.col("pred_boxes"))).alias("cm")
+    )
+    return salted_array_sum(partials, "cm", n_salts=8)
+
+
+@query("minhash_lsh_dedup")
+def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
+                      threshold: float = 0.5):
+    """MinHash-LSH near-dup detection, candidate → verify:
+
+    1. one Arrow UDF computes the 128-perm signature per doc,
+    2. banding + bucket hashing stay JVM-side (``slice`` + ``xxhash64``),
+    3. candidates = self-equi-join on (band, bucket_hash) — shuffle is on
+       band keys with bounded fan-out, never all-pairs,
+    4. verify = signature-agreement Jaccard estimate computed columnar
+       (``zip_with`` equality mean), filter ≥ threshold.
+
+    At 10^12 docs the verify step caps output at true near-dups; the
+    band join is the only shuffle and AQE splits any hot bucket."""
+    from docling_metrics_spark.operators.udfs import minhash_sig_udf
+
+    rows_per_band = num_perm // n_bands
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = d.select("doc_id", minhash_sig_udf("text").alias("sig"))
+
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band), b).alias(
+                "bucket"
+            ),
+        ),
+    )
+    banded = sigs.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    ).cast("double") / F.lit(float(num_perm))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
+        .filter(F.col("jaccard_est") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("simhash_near_dup")
+def simhash_near_dup(spark, sf_dir):
+    """SimHash fingerprints; near-dup candidates = equal 16-bit prefix
+    blocks (Charikar block-permutation scheme, 1 block here)."""
+    from docling_metrics_spark.operators.udfs import simhash_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.withColumn("simhash", simhash_udf("text"))
+        .withColumn("block", F.substring("simhash", 1, 4))
+        .groupBy("block")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("block")
+    )
+
+
+@query("embedding_lsh_ann")
+def embedding_lsh_ann(spark, sf_dir):
+    """Scale path for similarity search: random-hyperplane LSH bucketing
+    (signed projections → bit signature) then within-bucket brute force.
+    Buckets bound the candidate set so the join is bucket-local, not
+    all-pairs."""
+    from docling_metrics_spark.operators.udfs import make_lsh_sig_udf
+
+    e = _t(spark, sf_dir, "embeddings")
+    lsh_sig = make_lsh_sig_udf(dim=64, n_planes=8, seed=42)
+    sigged = e.select("vec_id", "label", lsh_sig("embedding").alias("bucket"))
+    return (
+        sigged.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,166 @@
+"""End-to-end Spark pipeline tests: extraction equality, metric parity vs
+the single-process oracle, salted-agg correctness, checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_metrics_spark.datagen import gen_documents, generate_documents_df
+from docling_metrics_spark.extraction import extract_spans_from_html
+from docling_metrics_spark.kernels.layout import evaluate_map
+from docling_metrics_spark.kernels.textmetrics import evaluate_text_pair
+from docling_metrics_spark.operators.skew import salted_agg, salted_array_sum
+from docling_metrics_spark.pipeline import (
+    aggregate_metrics,
+    extract_and_verify,
+    run_pipeline,
+)
+
+N_DOCS = 120
+REL = 1e-6
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = generate_documents_df(spark, N_DOCS, partitions=4).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def per_doc(spark, docs):
+    df = run_pipeline(docs).cache()
+    df.count()
+    return df
+
+
+def test_span_equality_all_docs(spark, docs):
+    """North-rule gate: distributed extraction == reference spans, exactly."""
+    ev = extract_and_verify(docs)
+    n_total = ev.count()
+    n_equal = ev.filter("span_equal").count()
+    assert n_total == N_DOCS
+    assert n_equal == N_DOCS
+
+
+def test_metric_parity_vs_oracle(spark, per_doc):
+    """Spark per-doc scores == single-process oracle at rel-tol 1e-6."""
+    rows = {r.doc_id: r for r in per_doc.collect()}
+    for doc in gen_documents(N_DOCS):
+        spans = extract_spans_from_html(doc["raw_html"])
+        gt_text = " ".join(s["text"] for s in spans if s["text"] is not None)
+        pred_text = " ".join(
+            s["text"] for s in doc["pred_spans"] if s["text"] is not None
+        )
+        oracle = evaluate_text_pair(gt_text, pred_text)
+        got = rows[doc["doc_id"]]
+        assert got.edit_distance_score == pytest.approx(
+            oracle.edit_distance_score, rel=REL
+        ), doc["doc_id"]
+        assert got.f1_score == pytest.approx(oracle.f1_score, rel=REL)
+        assert got.bleu_score == pytest.approx(oracle.bleu_score, rel=REL)
+
+        gt_b = [(b["category_id"], b["bbox"]) for b in doc["gt_boxes"]]
+        pr_b = [
+            (b["category_id"], b["bbox"], b["score"]) for b in doc["pred_boxes"]
+        ]
+        om = evaluate_map(gt_b, pr_b)
+        if om["map"] == om["map"]:  # not NaN
+            assert got.map == pytest.approx(om["map"], rel=REL), doc["doc_id"]
+        else:
+            assert got.map is None or got.map != got.map
+
+
+def test_aggregate_metrics_summary(spark, per_doc):
+    row = aggregate_metrics(per_doc).collect()[0]
+    assert row["sum_span_equal_int"] == N_DOCS  # all docs extracted exactly
+    assert 0.0 <= row["avg_edit_distance_score"] <= 1.0
+    assert row["cnt_f1_score"] == N_DOCS
+
+
+def test_salted_agg_equals_unsalted(spark, per_doc):
+    """SURVEY §5 point 4: two-stage salted agg == naive single-stage."""
+    naive = per_doc.agg(
+        F.sum("edit_distance_score").alias("s"),
+        F.count("edit_distance_score").alias("c"),
+        F.min("edit_distance_score").alias("mn"),
+        F.max("edit_distance_score").alias("mx"),
+    ).collect()[0]
+    salted = salted_agg(
+        per_doc, group_cols=[], sum_cols=["edit_distance_score"], n_salts=16
+    ).collect()[0]
+    assert salted["sum_edit_distance_score"] == pytest.approx(naive["s"], rel=1e-12)
+    assert salted["cnt_edit_distance_score"] == naive["c"]
+    assert salted["min_edit_distance_score"] == naive["mn"]
+    assert salted["max_edit_distance_score"] == naive["mx"]
+
+
+def test_salted_agg_grouped(spark, docs):
+    """Grouped variant vs Spark's own groupBy on a skewed key."""
+    df = docs.select(
+        (F.length("doc_id") % 2).alias("k"), F.size("spans").alias("v")
+    )
+    naive = {
+        r.k: (r.s, r.c)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()
+    }
+    salted = {
+        r.k: (r.sum_v, r.cnt_v)
+        for r in salted_agg(df, group_cols=["k"], sum_cols=["v"], n_salts=8).collect()
+    }
+    assert naive == salted
+
+
+def test_salted_array_sum(spark):
+    import numpy as np
+
+    data = [([1.0, 2.0, 3.0],), ([10.0, 20.0, 30.0],), ([100.0, 200.0, 300.0],)]
+    df = spark.createDataFrame(data, "arr array<double>")
+    got = salted_array_sum(df, "arr", n_salts=4).collect()[0].summed
+    assert got == [111.0, 222.0, 333.0]
+
+
+def test_checkpoint_resume(spark, docs, tmp_path):
+    """Kill after K buckets, rerun, assert no recomputation + identical finals."""
+    from docling_metrics_spark.checkpoint import (
+        read_checkpoint,
+        read_metrics,
+        run_checkpointed,
+    )
+
+    out_full = str(tmp_path / "full")
+    out_resume = str(tmp_path / "resume")
+
+    n = run_checkpointed(spark, docs, out_full, n_buckets=4)
+    assert n == 4
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_checkpointed(spark, docs, out_resume, n_buckets=4, fail_after_buckets=2)
+    assert len(read_checkpoint(spark, out_resume).collect()) == 2
+
+    n2 = run_checkpointed(spark, docs, out_resume, n_buckets=4)
+    assert n2 == 2  # only the 2 uncommitted buckets recomputed
+
+    full = {r.doc_id: r for r in read_metrics(spark, out_full).collect()}
+    resumed = {r.doc_id: r for r in read_metrics(spark, out_resume).collect()}
+    assert set(full) == set(resumed) and len(full) == N_DOCS
+    for k in full:
+        assert full[k].edit_distance_score == resumed[k].edit_distance_score
+        assert full[k].span_equal == resumed[k].span_equal
+
+    ckpt = read_checkpoint(spark, out_resume)
+    assert {r.batch_id for r in ckpt.collect()} == {
+        f"corpus:{b}" for b in range(4)
+    }
+
+
+def test_teds_error_channel(spark):
+    """Malformed table HTML inside spans must not kill the job — the UDF
+    surfaces an error count (reference error_id channel analog)."""
+    from docling_metrics_spark.operators.udfs import teds_doc_udf
+
+    df = spark.createDataFrame(
+        [(["<table><tr><td>a</td></tr></table>"], ["<table"],)],
+        "gt array<string>, pred array<string>",
+    )
+    row = df.select(teds_doc_udf("gt", "pred").alias("t")).collect()[0].t
+    assert row.error_count >= 0 and row.teds_mean is not None
