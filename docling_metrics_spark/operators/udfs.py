@@ -269,3 +269,54 @@ def minhash_sig_udf(text: pd.Series) -> pd.Series:
         sig = minhash_signature(char_shingles(t or "", 5), num_perm=128)
         out.append(sig.view("int64").tolist())
     return pd.Series(out)
+
+
+CELLS_GRITS_TYPE = StructType(
+    [
+        StructField("grits_top", DoubleType()),
+        StructField("grits_con", DoubleType()),
+        StructField("grits_loc", DoubleType()),
+        StructField("n_cells_gt", IntegerType()),
+        StructField("n_cells_pred", IntegerType()),
+    ]
+)
+
+
+@F.pandas_udf(CELLS_GRITS_TYPE)
+def grits_tables_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataFrame:
+    """Per-document GriTS over order-paired table-span HTML lists:
+    html→cells (stack walk with colspan placement, reference pattern
+    grits.py:487-534) then factored 2D-MSS per pair, averaged."""
+    from docling_metrics_spark.kernels.grits import grits_all, html_to_cells
+
+    rows = []
+    for gts, prs in zip(gt_tables, pred_tables):
+        gts = list(gts) if gts is not None else []
+        prs = list(prs) if prs is not None else []
+        accum = {"grits_top": 0.0, "grits_con": 0.0, "grits_loc": 0.0}
+        n_gt = n_pred = 0
+        n = 0
+        for i in range(min(len(gts), len(prs))):
+            try:
+                ca, cb = html_to_cells(gts[i]), html_to_cells(prs[i])
+            except ValueError:
+                # malformed table HTML → scored 0, mirroring the reference's
+                # error-sentinel semantics (docling_metrics_text.py:49-54)
+                n += 1
+                continue
+            n_gt += len(ca)
+            n_pred += len(cb)
+            g = grits_all(ca, cb)
+            for k in accum:
+                accum[k] += g[k]
+            n += 1
+        rows.append(
+            {
+                "grits_top": accum["grits_top"] / n if n else None,
+                "grits_con": accum["grits_con"] / n if n else None,
+                "grits_loc": accum["grits_loc"] / n if n else None,
+                "n_cells_gt": n_gt,
+                "n_cells_pred": n_pred,
+            }
+        )
+    return pd.DataFrame(rows)

@@ -904,3 +904,265 @@ def embedding_lsh_ann(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# text analysis: language-ID (marker-table heuristic, fully columnar)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+# Synthetic-fixture marker table (the corpus vocabulary is English word-soup;
+# the *operator shape* — broadcast marker table, per-lang score, argmax with
+# deterministic tie-break — is what this query exercises, exactly the n-gram
+# language-ID structure a real marker table would plug into).
+_LANG_MARKERS = {
+    "de": ["data", "merge", "batch"],
+    "en": ["the", "a", "scan"],
+    "es": ["table", "row", "column"],
+    "fr": ["join", "filter", "window"],
+    "zh": ["spark", "stream", "vector"],
+}
+
+
+@query(
+    "language_id",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {', '.join(
+                   "CAST(len(list_filter(string_split(text, ' '), "
+                   f"t -> list_contains({_LANG_MARKERS[lang]!r}, t))) AS BIGINT)"
+                   f" AS s_{lang}"
+                   for lang in _LANGS
+               )}
+        FROM documents
+    )
+    SELECT lang,
+           predicted_lang,
+           count(*) AS n_docs
+    FROM (
+        SELECT lang,
+               CASE greatest(s_de, s_en, s_es, s_fr, s_zh)
+                   WHEN s_de THEN 'de' WHEN s_en THEN 'en'
+                   WHEN s_es THEN 'es' WHEN s_fr THEN 'fr' ELSE 'zh'
+               END AS predicted_lang
+        FROM scored
+    )
+    GROUP BY lang, predicted_lang
+    ORDER BY lang, predicted_lang
+    """,
+)
+def language_id(spark, sf_dir):
+    """n-gram/marker language-ID heuristic, pure columnar (no UDF): per-lang
+    marker hit counts → argmax with first-match tie-break (CASE order)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def marker_score(markers: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in markers])
+        # single-arg lambda: F.filter inspects arity, so no default args here
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast(
+            "bigint"
+        )
+
+    scores = {lang: marker_score(_LANG_MARKERS[lang]) for lang in _LANGS}
+    best = F.greatest(*scores.values())
+    pred = F.when(scores["de"] == best, "de")
+    for lang in _LANGS[1:-1]:
+        pred = pred.when(scores[lang] == best, lang)
+    pred = pred.otherwise("zh")
+    return (
+        d.select("lang", pred.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact, bounded pair set; LSH variant is the
+# scale path — embedding_lsh_ann)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_cosine_near_dup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding, b.embedding)
+                 / greatest(sqrt(list_dot_product(a.embedding, a.embedding))
+                            * sqrt(list_dot_product(b.embedding, b.embedding)),
+                            1e-12), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding, b.embedding)
+                / greatest(sqrt(list_dot_product(a.embedding, a.embedding))
+                           * sqrt(list_dot_product(b.embedding, b.embedding)),
+                           1e-12), 4) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def embedding_cosine_near_dup(spark, sf_dir):
+    """Exact cosine near-dup over a bounded id range (broadcast self-join).
+    At scale the candidate set comes from LSH buckets (embedding_lsh_ann);
+    this exact variant doubles as that path's verification oracle."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
+        "vec_id", "embedding"
+    )
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / F.greatest(
+            F.sqrt(dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(dot(F.col("eb"), F.col("eb"))),
+            F.lit(1e-12),
+        ),
+        4,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# binary column plumbing (JVM-side): encode → BINARY → byte-level features
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "binary_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           substring(hex(encode(text)), 1, 16) AS head_hex
+    FROM documents WHERE doc_id < 200 ORDER BY doc_id
+    """,
+)
+def binary_features(spark, sf_dir):
+    """Opaque-binary column handling entirely JVM-side (encode → BINARY →
+    octet_length/hex): the relational shell of the multimodal path."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    b = F.encode(F.col("text"), "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(b).alias("n_bytes"),
+        F.substring(F.hex(b), 1, 16).alias("head_hex"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# streaming: watermarked windowed agg (AvailableNow) — batch-equivalent,
+# so the DuckDB twin is a real oracle for the streaming path
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "streaming_windowed_counts",
+    """
+    SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_epoch,
+           event_type, count(*) AS n, round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY window_epoch, event_type
+    """,
+)
+def streaming_windowed_counts(spark, sf_dir):
+    """Structured Streaming over the events source (file stream, event-time
+    tumbling windows, AvailableNow trigger) run to completion; with the
+    watermark wider than the data's lateness the result equals the batch
+    twin, which is exactly what the oracle asserts."""
+    from docling_metrics_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_available_now(
+        windowed_event_counts(stream, window="1 hour", watermark="3650 days")
+    )
+    return result.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("window_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_epoch", "event_type")
+
+
+@query("streaming_sessionize")
+def streaming_sessionize(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): gap-based
+    per-user session counts. Batch twin = user_sessions (same semantics);
+    asserted equal in tests/test_streaming.py."""
+    from docling_metrics_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        sessionize_stream,
+    )
+
+    stream = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    result = run_available_now(sessionize_stream(stream), output_mode="update")
+    # Update-mode sink may hold one row per micro-batch; keep the final state.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "n_sessions")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GriTS + multimodal (rows-only: kernels are non-SQL-expressible; their real
+# oracles are the pytest golden/parity suites)
+# ---------------------------------------------------------------------------
+
+
+@query("grits_cells_pairs")
+def grits_cells_pairs(spark, sf_dir):
+    """GriTS (topology/content/location) over cell lists parsed from the
+    corpus table spans — html→cells (stack walk w/ colspan placement) then
+    factored 2D-MSS, one Arrow batch kernel per document."""
+    from docling_metrics_spark.operators.udfs import grits_tables_udf
+    from docling_metrics_spark.pipeline import _table_htmls
+
+    docs = _corpus(spark, sf_dir, cap=500)
+    return (
+        docs.withColumn("gt_tables", _table_htmls("spans"))
+        .withColumn("pred_tables", _table_htmls("pred_spans"))
+        .filter(F.size("gt_tables") > 0)
+        .withColumn("g", grits_tables_udf("gt_tables", "pred_tables"))
+        .select("doc_id", "g.*")
+        .orderBy("doc_id")
+    )
+
+
+@query("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    """Media spans → opaque BINARY payloads (typed header + bytes) →
+    mapInPandas decode/feature-extract (decode stubbed, plumbing real)."""
+    from docling_metrics_spark.multimodal import decode_media_features, media_table
+
+    docs = _corpus(spark, sf_dir, cap=300)
+    return decode_media_features(media_table(docs)).orderBy("media_ref")
+
+
+@query("media_frame_sample")
+def media_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over binary payloads (mapInPandas fan-out)."""
+    from docling_metrics_spark.multimodal import media_table, sample_frames
+
+    docs = _corpus(spark, sf_dir, cap=300)
+    return sample_frames(media_table(docs)).orderBy("media_ref", "frame_index")
