@@ -100,15 +100,22 @@ def bleu(prediction_tokens: list[str], reference_tokens: list[str],
 
 
 def _meteor_align(ref: list[str], hyp: list[str]) -> tuple[int, int]:
-    """Greedy left-to-right exact unigram alignment → (matches, chunks)."""
-    used_ref: set[int] = set()
+    """Greedy left-to-right exact unigram alignment → (matches, chunks).
+
+    Each hypothesis token takes the leftmost unused reference occurrence of
+    the same token. Indexing ref positions per token makes this O(n+m) —
+    the naive scan is O(n·m), which blows up on skew-giant documents and
+    caps task-level parallel scaling."""
+    from collections import defaultdict, deque
+
+    positions: dict[str, deque[int]] = defaultdict(deque)
+    for ri, rtok in enumerate(ref):
+        positions[rtok].append(ri)
     pairs: list[tuple[int, int]] = []  # (hyp_idx, ref_idx)
     for hi, tok in enumerate(hyp):
-        for ri, rtok in enumerate(ref):
-            if ri not in used_ref and rtok == tok:
-                used_ref.add(ri)
-                pairs.append((hi, ri))
-                break
+        q = positions.get(tok)
+        if q:
+            pairs.append((hi, q.popleft()))
     if not pairs:
         return 0, 0
     chunks = 1

@@ -1166,3 +1166,206 @@ def media_frame_sample(spark, sf_dir):
 
     docs = _corpus(spark, sf_dir, cap=300)
     return sample_frames(media_table(docs)).orderBy("media_ref", "frame_index")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources: COCO JSON loader and GT/pred file-pairing directory scan
+# (both synthesize their deterministic input under /tmp on first use — the
+# driver testdata has no JSON/markdown fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _coco_fixture(spark, sf_dir) -> str:
+    """Deterministic COCO-style JSON (images + annotations) derived from the
+    corpus layout boxes; written once per sf tier."""
+    import json as _json
+    import os as _os
+
+    path = "/tmp/dms_coco_fixture"
+    marker = _os.path.join(path, "_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(path, exist_ok=True)
+        from docling_metrics_spark.datagen import gen_document
+
+        anns, images = [], []
+        ann_id = 0
+        for i in range(200):
+            d = gen_document(i)
+            images.append({"id": i, "width": d["page_width"],
+                           "height": d["page_height"]})
+            for b in d["gt_boxes"]:
+                x0, y0, x1, y1 = b["bbox"]
+                anns.append({
+                    "id": ann_id, "image_id": i,
+                    "category_id": b["category_id"],
+                    # COCO xywh; the query converts back to xyxy
+                    "bbox": [x0, y0, x1 - x0, y1 - y0],
+                })
+                ann_id += 1
+        with open(_os.path.join(path, "annotations.json"), "w") as f:
+            for a in anns:  # JSON-lines for spark.read.json
+                f.write(_json.dumps(a) + "\n")
+        with open(_os.path.join(path, "images.json"), "w") as f:
+            for im in images:
+                f.write(_json.dumps(im) + "\n")
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "coco_layout_load",
+    """
+    SELECT a.image_id AS image_id,
+           i.width AS width, i.height AS height,
+           count(*) AS n_boxes,
+           round(sum((a.bbox[1] + a.bbox[3]) - a.bbox[1]), 2) AS total_w,
+           round(sum(a.bbox[2] + a.bbox[4]), 2) AS total_y1
+    FROM read_json_auto('/tmp/dms_coco_fixture/annotations.json', format='newline_delimited') a
+    JOIN read_json_auto('/tmp/dms_coco_fixture/images.json', format='newline_delimited') i
+      ON i.id = a.image_id
+    GROUP BY a.image_id, i.width, i.height
+    ORDER BY image_id
+    """,
+)
+def coco_layout_load(spark, sf_dir):
+    """COCO loader re-expression (reference benchmarks/tools.py:11-60):
+    spark.read.json on annotations + images, xywh→xyxy column arithmetic,
+    groupBy(image_id), broadcast join to the image dimension table."""
+    path = _coco_fixture(spark, sf_dir)
+    anns = spark.read.json(f"{path}/annotations.json")
+    images = spark.read.json(f"{path}/images.json")
+    x0 = F.col("bbox")[0]
+    y0 = F.col("bbox")[1]
+    w = F.col("bbox")[2]
+    h = F.col("bbox")[3]
+    per_img = (
+        anns.select(
+            "image_id",
+            ((x0 + w) - x0).alias("box_w"),  # xywh→xyxy→width (=w) roundtrip
+            (y0 + h).alias("y1"),
+        )
+        .groupBy("image_id")
+        .agg(
+            F.count("*").alias("n_boxes"),
+            F.round(F.sum("box_w"), 2).alias("total_w"),
+            F.round(F.sum("y1"), 2).alias("total_y1"),
+        )
+    )
+    return (
+        per_img.join(F.broadcast(images), per_img.image_id == images.id)
+        .select("image_id", "width", "height", "n_boxes", "total_w", "total_y1")
+        .orderBy("image_id")
+    )
+
+
+def _mdpair_fixture(spark, sf_dir) -> str:
+    """GT_/pred_ markdown pair directory (reference data_loader.py:96-137
+    fixture shape), derived deterministically from the corpus; one pred file
+    is deliberately missing to exercise the warn/anti-join branch."""
+    import os as _os
+
+    path = "/tmp/dms_mdpairs_fixture"
+    marker = _os.path.join(path, "_DONE")
+    if not _os.path.exists(marker):
+        _os.makedirs(path, exist_ok=True)
+        from docling_metrics_spark.datagen import gen_document
+
+        def span_text(spans):
+            return " ".join(
+                s["text"] for s in sorted(spans, key=lambda s: s["offset"])
+                if s["text"] is not None
+            )
+
+        for i in range(40):
+            d = gen_document(i)
+            sid = f"{i:04d}"
+            # "(empty)" sentinel: Spark's text source emits no rows for a
+            # zero-byte file while DuckDB read_text emits one — keep parity
+            with open(_os.path.join(path, f"GT_{sid}.md"), "w") as f:
+                f.write(span_text(d["spans"]) or "(empty)")
+            if i % 13 != 7:  # missing-prediction branch
+                with open(_os.path.join(path, f"pred_{sid}.md"), "w") as f:
+                    f.write(span_text(d["pred_spans"]) or "(empty)")
+        open(marker, "w").close()
+    return path
+
+
+@query(
+    "md_pair_scan",
+    """
+    WITH files AS (
+        SELECT regexp_extract(filename, '(GT|pred)_([0-9]+)\\.md$', 2) AS id,
+               regexp_extract(filename, '(GT|pred)_([0-9]+)\\.md$', 1) AS side,
+               content
+        FROM read_text('/tmp/dms_mdpairs_fixture/*.md')
+    )
+    SELECT g.id AS id,
+           length(g.content) AS gt_len,
+           length(p.content) AS pred_len
+    FROM files g JOIN files p ON g.id = p.id AND p.side = 'pred'
+    WHERE g.side = 'GT'
+    ORDER BY id
+    """,
+)
+def md_pair_scan(spark, sf_dir):
+    """Directory-scan pair construction (reference TextFileLoader,
+    data_loader.py:43-137): wholetext read of GT_*/pred_* files, shared id
+    via regexp_extract on the path, inner equi-join on id. The missing-pred
+    branch (127-134) is the md_pair_missing anti-join below."""
+    path = _mdpair_fixture(spark, sf_dir)
+    files = (
+        spark.read.option("wholetext", "true")
+        .text(f"{path}/*.md")
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"(GT|pred)_([0-9]+)\.md$", 2
+            ).alias("id"),
+            F.regexp_extract(
+                F.input_file_name(), r"(GT|pred)_([0-9]+)\.md$", 1
+            ).alias("side"),
+            F.col("value").alias("content"),
+        )
+    )
+    g = files.filter(F.col("side") == "GT").select(
+        "id", F.length("content").alias("gt_len")
+    )
+    p = files.filter(F.col("side") == "pred").select(
+        "id", F.length("content").alias("pred_len")
+    )
+    return g.join(p, "id").select("id", "gt_len", "pred_len").orderBy("id")
+
+
+@query(
+    "md_pair_missing",
+    """
+    WITH files AS (
+        SELECT regexp_extract(filename, '(GT|pred)_([0-9]+)\\.md$', 2) AS id,
+               regexp_extract(filename, '(GT|pred)_([0-9]+)\\.md$', 1) AS side
+        FROM read_text('/tmp/dms_mdpairs_fixture/*.md')
+    )
+    SELECT g.id AS id
+    FROM files g
+    WHERE g.side = 'GT'
+      AND NOT EXISTS (SELECT 1 FROM files p WHERE p.side = 'pred' AND p.id = g.id)
+    ORDER BY id
+    """,
+)
+def md_pair_missing(spark, sf_dir):
+    """The loader's warn-on-missing-prediction branch (data_loader.py:122-134)
+    as a left-anti join."""
+    path = _mdpair_fixture(spark, sf_dir)
+    files = (
+        spark.read.option("wholetext", "true")
+        .text(f"{path}/*.md")
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"(GT|pred)_([0-9]+)\.md$", 2
+            ).alias("id"),
+            F.regexp_extract(
+                F.input_file_name(), r"(GT|pred)_([0-9]+)\.md$", 1
+            ).alias("side"),
+        )
+    )
+    g = files.filter(F.col("side") == "GT").select("id")
+    p = files.filter(F.col("side") == "pred").select("id")
+    return g.join(p, "id", "left_anti").orderBy("id")

@@ -1,0 +1,72 @@
+"""Physical-plan audits: the 100 TB design points must be visible in the
+plan, not just hoped for — filter pushdown into the parquet scan, nested
+column pruning, broadcast joins for dimensions, partial aggregation, and a
+shuffle-free narrow pipeline before the final aggregation."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from docling_metrics_spark.plans.queries import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    # the shipdate predicate must appear in the pushed filter list
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert any("l_shipdate" in l for l in pushed), pushed
+
+
+def test_column_pruning(spark):
+    from docling_metrics_spark.plans.queries import stats_summary
+
+    plan = _plan(stats_summary(spark, SF))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and "o_totalprice" in read[0]
+    # a single-column aggregate must not drag the whole orders schema in
+    assert "o_comment" not in read[0] and "o_orderpriority" not in read[0]
+
+
+def test_broadcast_join_for_dimensions(spark):
+    from docling_metrics_spark.plans.queries import regional_customer_volume
+
+    plan = _plan(regional_customer_volume(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation(spark):
+    from docling_metrics_spark.plans.queries import pricing_summary
+
+    plan = _plan(pricing_summary(spark, SF), "simple")
+    # map-side combine: HashAggregate appears as partial + final pair
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pipeline_is_narrow_before_agg(spark):
+    """run_pipeline (extract → verify → score) must contain NO shuffle —
+    every exchange before the final aggregation would repartition the full
+    100 TB corpus."""
+    from docling_metrics_spark.datagen import generate_documents_df
+    from docling_metrics_spark.pipeline import run_pipeline
+
+    per_doc = run_pipeline(generate_documents_df(spark, 50))
+    plan = _plan(per_doc, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_whole_stage_codegen_present(spark):
+    # AQE materializes codegen spans only at execution; in the executed
+    # final plan they surface as "*(n)" stage markers.
+    from docling_metrics_spark.plans.queries import discounted_revenue
+
+    df = discounted_revenue(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in plan, plan
