@@ -32,7 +32,7 @@ from docling_metrics_spark.kernels.layout import (
     rasterize_multilabel,
 )
 from docling_metrics_spark.kernels.minhash import (
-    char_shingles,
+    char_shingle_hashes,
     minhash_bands,
     minhash_signature,
     simhash,
@@ -230,7 +230,7 @@ def minhash_bands_udf(text: pd.Series) -> pd.Series:
     """LSH band keys (hex strings) for near-dup candidate generation."""
     out = []
     for t in text:
-        sig = minhash_signature(char_shingles(t or "", 5), num_perm=128)
+        sig = minhash_signature(char_shingle_hashes(t or "", 5), num_perm=128)
         out.append([format(k, "016x") for k in minhash_bands(sig, num_bands=32)])
     return pd.Series(out)
 
@@ -266,7 +266,7 @@ def minhash_sig_udf(text: pd.Series) -> pd.Series:
     banding, bucket hashing, and pairwise verification all stay JVM-side."""
     out = []
     for t in text:
-        sig = minhash_signature(char_shingles(t or "", 5), num_perm=128)
+        sig = minhash_signature(char_shingle_hashes(t or "", 5), num_perm=128)
         out.append(sig.view("int64").tolist())
     return pd.Series(out)
 
@@ -320,3 +320,34 @@ def grits_tables_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataFra
             }
         )
     return pd.DataFrame(rows)
+
+
+def make_tore_final_udf(n_classes: int):
+    """Final step of the TORE partial+final pattern: dataset P/R/F1
+    recomputed on the salted-summed matrix (tore_layout_evaluator.py:242-245)."""
+    import numpy as np
+
+    n_cm = n_classes + 1
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("precision_mean", DoubleType()),
+                StructField("recall_mean", DoubleType()),
+                StructField("f1_mean", DoubleType()),
+                StructField("total_weight", DoubleType()),
+            ]
+        )
+    )
+    def tore_final_udf(summed_col: pd.Series) -> pd.DataFrame:
+        from docling_metrics_spark.kernels.layout import confusion_metrics
+
+        rows = []
+        for arr in summed_col:
+            cm = np.asarray(arr, dtype=float).reshape(n_cm, n_cm)
+            m = confusion_metrics(cm)
+            m["total_weight"] = float(cm.sum())
+            rows.append(m)
+        return pd.DataFrame(rows)
+
+    return tore_final_udf

@@ -808,7 +808,14 @@ def tore_confusion(spark, sf_dir):
     partials = docs.select(
         udf(scale_boxes(F.col("gt_boxes")), scale_boxes(F.col("pred_boxes"))).alias("cm")
     )
-    return salted_array_sum(partials, "cm", n_salts=8)
+    summed = salted_array_sum(partials, "cm", n_salts=8)
+
+    # Final step of the partial+final pattern: recompute dataset metrics on
+    # the summed matrix (reference tore_layout_evaluator.py:242-245).
+    from docling_metrics_spark.operators.udfs import make_tore_final_udf
+
+    final_udf = make_tore_final_udf(N_CATEGORIES)
+    return summed.select(final_udf("summed").alias("m")).select("m.*")
 
 
 @query("minhash_lsh_dedup")
@@ -828,8 +835,18 @@ def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
     from docling_metrics_spark.operators.udfs import minhash_sig_udf
 
     rows_per_band = num_perm // n_bands
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = d.select("doc_id", minhash_sig_udf("text").alias("sig"))
+    # repartition: a small single-file table is one parquet row group = one
+    # task, which serializes the signature UDF; at lake scale the input is
+    # already thousands of splits and this is a no-op cost-wise
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # persist: the signature table feeds banding AND both verify sides —
+    # without it the UDF recomputes 3×; at cluster scale this is a
+    # checkpointed signatures table
+    sigs = d.select("doc_id", minhash_sig_udf("text").alias("sig")).persist()
 
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -874,7 +891,11 @@ def simhash_near_dup(spark, sf_dir):
     blocks (Charikar block-permutation scheme, 1 block here)."""
     from docling_metrics_spark.operators.udfs import simhash_udf
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     return (
         d.withColumn("simhash", simhash_udf("text"))
         .withColumn("block", F.substring("simhash", 1, 4))
@@ -1369,3 +1390,102 @@ def md_pair_missing(spark, sf_dir):
     g = files.filter(F.col("side") == "GT").select("id")
     p = files.filter(F.col("side") == "pred").select("id")
     return g.join(p, "id", "left_anti").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# §2.7 chemistry: SMILES quality (kernel rows-only; equality stats oracled)
+# ---------------------------------------------------------------------------
+
+
+def _smiles_fixture(spark) -> str:
+    """Deterministic SMILES GT/pred pairs parquet (the reference's JSON
+    vector fixture shape, test_smiles_metric_json_vectors.py:15-19):
+    fragment-grammar molecules; predictions perturbed (atom swap, char drop
+    → some invalid), every 17th prediction missing."""
+    import os as _os
+    import random as _random
+
+    path = "/tmp/dms_smiles_fixture.parquet"
+    if not _os.path.exists(path):
+        rng = _random.Random(20260817)
+        frags = ["C", "CC", "CCO", "c1ccccc1", "N", "O", "CC(=O)O",
+                 "C(=O)N", "CCN(CC)CC", "c1ccncc1", "CC(C)C", "COC"]
+        rows = []
+        for i in range(400):
+            gt = "".join(rng.choice(frags) for _ in range(rng.randint(1, 4)))
+            r = rng.random()
+            if i % 17 == 5:
+                pred = None
+            elif r < 0.5:
+                pred = gt
+            elif r < 0.8:  # atom swap (stays valid)
+                pred = gt.replace("N", "O", 1) if "N" in gt else gt + "C"
+            else:  # char drop (may invalidate)
+                k = rng.randrange(len(gt))
+                pred = gt[:k] + gt[k + 1:]
+            rows.append((i, gt, pred))
+        import pandas as _pd
+
+        _pd.DataFrame(rows, columns=["sid", "gt_smiles", "pred_smiles"]).to_parquet(
+            path
+        )
+    return path
+
+
+@query(
+    "smiles_equality",
+    """
+    SELECT count(*) AS n,
+           round(avg(CASE WHEN pred_smiles = gt_smiles THEN 1.0 ELSE 0.0 END), 3)
+               AS equality_rate,
+           CAST(sum(CASE WHEN pred_smiles IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           round(avg(length(gt_smiles)), 3) AS avg_gt_len
+    FROM read_parquet('/tmp/dms_smiles_fixture.parquet')
+    """,
+)
+def smiles_equality(spark, sf_dir):
+    """SQL-expressible slice of the SMILES aggregate
+    (docling_metrics_chemistry.py:294-345): equality rate, missing count."""
+    path = _smiles_fixture(spark)
+    d = spark.read.parquet(path)
+    return d.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(
+                F.when(F.col("pred_smiles") == F.col("gt_smiles"), 1.0).otherwise(0.0)
+            ),
+            3,
+        ).alias("equality_rate"),
+        F.sum(
+            F.when(F.col("pred_smiles").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_missing"),
+        F.round(F.avg(F.length("gt_smiles")), 3).alias("avg_gt_len"),
+    )
+
+
+@query("smiles_quality")
+def smiles_quality(spark, sf_dir):
+    """Full SMILES kernel via the register_metric extension API: validity +
+    canonical equality + Tanimoto per pair, then the reference's aggregate
+    (null-skipping means, round 3)."""
+    from docling_metrics_spark.registry import register_metric
+    from docling_metrics_spark.kernels.chemistry import evaluate_smiles_pair
+
+    m = register_metric(
+        "smiles_pair",
+        ["gt_smiles", "pred_smiles"],
+        "valid boolean, string_equality boolean, tanimoto double",
+        lambda row: evaluate_smiles_pair(row["gt_smiles"], row["pred_smiles"]),
+    )
+    path = _smiles_fixture(spark)
+    d = spark.read.parquet(path)
+    scored = m.evaluate_samples(d, out_col="s")
+    return scored.agg(
+        F.count("*").alias("sample_count"),
+        F.round(F.avg(F.col("s.valid").cast("double")), 3).alias("validity_rate"),
+        F.round(F.avg(F.col("s.string_equality").cast("double")), 3).alias(
+            "equality_rate"
+        ),
+        F.round(F.avg("s.tanimoto"), 3).alias("tanimoto_mean"),
+    )
