@@ -52,13 +52,28 @@ def cells_to_grid(cells: list[dict], field: str):
     return grid
 
 
+_LCS_CACHE: dict[tuple[str, str], float] = {}
+_LCS_CACHE_MAX = 1_000_000
+
+
 def lcs_similarity(s1: str, s2: str) -> float:
+    """2·|LCS|/(|s1|+|s2|) with an executor-local symmetric-keyed cache —
+    the reference's LCSCache (grits.py:11-56, default 10M entries); repeated
+    cell texts across a corpus hit constantly."""
     if not s1 and not s2:
         return 1.0
     if not s1 or not s2:
         return 0.0
-    m = sum(b.size for b in SequenceMatcher(None, s1, s2).get_matching_blocks())
-    return 2.0 * m / (len(s1) + len(s2))
+    key = (s1, s2) if s1 <= s2 else (s2, s1)
+    v = _LCS_CACHE.get(key)
+    if v is None:
+        m = sum(
+            b.size for b in SequenceMatcher(None, s1, s2).get_matching_blocks()
+        )
+        v = 2.0 * m / (len(s1) + len(s2))
+        if len(_LCS_CACHE) < _LCS_CACHE_MAX:
+            _LCS_CACHE[key] = v
+    return v
 
 
 def _span_iou(a, b) -> float:

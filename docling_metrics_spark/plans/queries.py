@@ -1489,3 +1489,70 @@ def smiles_quality(spark, sf_dir):
         ),
         F.round(F.avg("s.tanimoto"), 3).alias("tanimoto_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join: the shuffle-free big-big join strategy
+# ---------------------------------------------------------------------------
+
+
+def _bucketed_tables(spark, sf_dir) -> str:
+    """One-time: persist orders+lineitem bucketed by the join key.
+
+    At 100 TB the fact tables are written bucketed once (`bucketBy` on the
+    join/agg key, sorted within buckets); every subsequent equi-join on that
+    key is shuffle-free — both sides scan co-located buckets. This is the
+    'co-locate joins via bucketing' design point made concrete."""
+    import os as _os
+
+    db = f"dms_buck_{abs(hash(sf_dir)) % 10**8}"
+    warehouse = f"/tmp/dms_bucketed_{abs(hash(sf_dir)) % 10**8}"
+    if not spark.catalog.databaseExists(db):
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{warehouse}'")
+    if not spark.catalog.tableExists(f"{db}.orders_b"):
+        (
+            _t(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .format("parquet")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            _t(spark, sf_dir, "lineitem")
+            .write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .format("parquet")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+    return db
+
+
+@query(
+    "bucketed_order_revenue",
+    """
+    SELECT o.o_orderpriority AS priority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 100000
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+)
+def bucketed_order_revenue(spark, sf_dir):
+    """Big-big equi-join on pre-bucketed tables — no Exchange on either side
+    (asserted in tests/test_plans.py::test_bucketed_join_avoids_shuffle)."""
+    db = _bucketed_tables(spark, sf_dir)
+    o = spark.table(f"{db}.orders_b").filter(F.col("o_totalprice") > 100000)
+    li = spark.table(f"{db}.lineitem_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("priority")
+    )

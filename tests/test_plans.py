@@ -70,3 +70,32 @@ def test_whole_stage_codegen_present(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "*(" in plan, plan
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Pre-bucketed fact tables joined on the bucket key must not shuffle
+    either side. At tiny SF, AQE rightly broadcasts the small side, so the
+    production query only proves the bucketed scan; a merge-hinted variant
+    proves the shuffle-free SortMergeJoin both big sides would get."""
+    from docling_metrics_spark.plans.queries import (
+        _bucketed_tables,
+        bucketed_order_revenue,
+    )
+
+    df = bucketed_order_revenue(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan  # bucketed scan engaged
+
+    db = _bucketed_tables(spark, SF)
+    o = spark.table(f"{db}.orders_b").hint("merge")
+    li = spark.table(f"{db}.lineitem_b")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "o_orderpriority"
+    )
+    joined.collect()
+    jplan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan, jplan
+    # both join inputs come straight from bucket-local scans — no Exchange
+    # anywhere in this plan (there is no post-join agg here)
+    assert "Exchange" not in jplan, jplan
