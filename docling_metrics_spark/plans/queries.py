@@ -1556,3 +1556,62 @@ def bucketed_order_revenue(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# flagship variants: streaming ingest and checkpointed/resumable runs
+# ---------------------------------------------------------------------------
+
+
+@query("streaming_extract")
+def streaming_extract(spark, sf_dir):
+    """The flagship pipeline lifted onto a file stream (AvailableNow):
+    identical narrow code path as batch, so stream == batch per document
+    (asserted in tests/test_streaming.py)."""
+    import os as _os
+
+    from docling_metrics_spark.datagen import generate_documents_df
+    from docling_metrics_spark.streaming.windowed import (
+        extract_documents_stream,
+        run_available_now,
+    )
+
+    src = "/tmp/dms_stream_corpus"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        generate_documents_df(spark, 400, partitions=8).write.mode(
+            "overwrite"
+        ).parquet(src)
+    return run_available_now(
+        extract_documents_stream(spark, src), output_mode="append"
+    ).orderBy("doc_id")
+
+
+@query("checkpointed_metrics")
+def checkpointed_metrics(spark, sf_dir):
+    """Checkpointed bucket-at-a-time run with per-partition lineage, then a
+    crash-injected rerun proving idempotent resume: the returned lineage
+    table has exactly one committed row per bucket and full doc coverage."""
+    import shutil as _shutil
+
+    from docling_metrics_spark.checkpoint import (
+        read_checkpoint,
+        read_metrics,
+        run_checkpointed,
+    )
+
+    out = "/tmp/dms_ckpt_query"
+    _shutil.rmtree(out, ignore_errors=True)
+    docs = _corpus(spark, sf_dir, cap=300)
+    try:  # crash after 2 buckets…
+        run_checkpointed(spark, docs, out, n_buckets=4, fail_after_buckets=2)
+    except RuntimeError:
+        pass
+    run_checkpointed(spark, docs, out, n_buckets=4)  # …resume finishes rest
+    lineage = read_checkpoint(spark, out)
+    n_docs = read_metrics(spark, out).count()
+    return (
+        lineage.groupBy("bucket")
+        .agg(F.count("*").alias("n_commits"), F.sum("n_docs").alias("n_docs"))
+        .withColumn("total_docs", F.lit(n_docs))
+        .orderBy("bucket")
+    )

@@ -130,3 +130,24 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str | None = None,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def extract_documents_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Continuous-ingest twin of the flagship batch pipeline: file stream
+    over `documents` parquet → extraction + span-equality + per-doc metrics.
+
+    The pipeline body is IDENTICAL to the batch path (pipeline.run_pipeline
+    composes narrow ops only, so it lifts to a stream unchanged) — one code
+    path serves backfill (Trigger.AvailableNow) and 24/7 tailing, the
+    Kappa-architecture property Spark's unified batch/stream API gives for
+    free. Stateless (no watermark needed); dataset aggregation happens
+    downstream per micro-batch via foreachBatch or on the sink table."""
+    from docling_metrics_spark.datagen import DOCUMENTS_SCHEMA_DDL
+    from docling_metrics_spark.pipeline import run_pipeline
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return run_pipeline(stream)

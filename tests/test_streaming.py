@@ -129,3 +129,28 @@ def test_sessionize_matches_batch(spark):
     g = {tuple(r) for r in final.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_streaming_extraction_matches_batch(spark, tmp_path):
+    """run_pipeline lifted onto a file stream produces exactly the batch
+    rows (stateless narrow pipeline ⇒ stream==batch per document)."""
+    from docling_metrics_spark.datagen import generate_documents_df
+    from docling_metrics_spark.pipeline import run_pipeline
+    from docling_metrics_spark.streaming.windowed import (
+        extract_documents_stream,
+        run_available_now,
+    )
+
+    src = str(tmp_path / "docs")
+    generate_documents_df(spark, 60, partitions=4).write.parquet(src)
+
+    got = run_available_now(
+        extract_documents_stream(spark, src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="append",
+    )
+    batch = run_pipeline(spark.read.parquet(src))
+    cols = ["doc_id", "span_equal", "n_spans", "edit_distance_score", "f1_score"]
+    g = {tuple(r) for r in got.select(cols).collect()}
+    b = {tuple(r) for r in batch.select(cols).collect()}
+    assert g == b and len(g) == 60
