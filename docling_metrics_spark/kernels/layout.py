@@ -55,14 +55,14 @@ def iou_matrix(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
 def _match_predictions(
     ious: np.ndarray, scores: np.ndarray, thr: float
 ) -> np.ndarray:
-    """Greedy COCO matching: predictions in descending score order claim the
-    highest-IoU unmatched GT ≥ thr. Returns bool TP flags per prediction
-    (in the given order)."""
+    """Greedy COCO matching: predictions (pre-sorted by descending score)
+    claim the highest-IoU unmatched GT ≥ thr. Returns bool TP flags per
+    prediction in that order."""
     n_gt = ious.shape[0]
-    order = np.argsort(-scores, kind="stable")
+    # caller passes predictions already sorted by descending score
     gt_taken = np.zeros(n_gt, dtype=bool)
     tp = np.zeros(len(scores), dtype=bool)
-    for pi in order:
+    for pi in range(len(scores)):
         best, best_iou = -1, thr
         for gi in range(n_gt):
             if not gt_taken[gi] and ious[gi, pi] >= best_iou:
@@ -85,9 +85,9 @@ def average_precision(
     fp_cum = np.cumsum(~tp_sorted)
     recall = tp_cum / n_gt
     precision = tp_cum / (tp_cum + fp_cum)
-    # Precision envelope (monotone non-increasing from the right).
-    for i in range(len(precision) - 2, -1, -1):
-        precision[i] = max(precision[i], precision[i + 1])
+    # Precision envelope (monotone non-increasing from the right),
+    # vectorized: reverse → running max → reverse.
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
     idx = np.searchsorted(recall, RECALL_POINTS, side="left")
     prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
     return float(prec_at.mean())
@@ -118,10 +118,9 @@ def evaluate_map(
         ps = np.array([s for _, s in p], dtype=np.float64)
         ious = iou_matrix(g, pb)
         for ti, thr in enumerate(IOU_THRESHOLDS):
+            # ps is already descending (sorted above), so tp is tp_sorted
             tp = _match_predictions(ious, ps, thr)
-            order = np.argsort(-ps, kind="stable")
-            tp_sorted = tp[order]
-            ap[ci, ti] = average_precision(tp_sorted, len(g))
+            ap[ci, ti] = average_precision(tp, len(g))
             ar[ci, ti] = tp.sum() / len(g) if len(g) else float("nan")
     return {
         "map": float(np.nanmean(ap)),
@@ -220,4 +219,85 @@ def confusion_metrics(cm: np.ndarray) -> dict[str, float]:
         "precision_mean": float(np.nanmean(precision)),
         "recall_mean": float(np.nanmean(recall)),
         "f1_mean": float(np.nanmean(f1)),
+    }
+
+
+def match_stats(
+    gt: list[tuple[int, list[float]]],
+    pred: list[tuple[int, list[float], float]],
+    max_det: int = 100,
+) -> list[dict]:
+    """Per-document COCO matching partials for DATASET-level mAP.
+
+    The reference's dataset evaluation pools every page into one COCO run
+    (map_layout_evaluator.py:50-99). That pooling IS decomposable: greedy
+    TP matching is per-image-independent; only the AP integration needs all
+    images' (score, tp) pairs per (class, iou_threshold). So each document
+    emits, per (class, threshold): its prediction scores, TP flags, and GT
+    count — the shuffle key is (class, threshold), tiny and uniform.
+
+    Returns [{cls, thr_idx, scores, tp, n_gt}]."""
+    classes = sorted(
+        {c for c, _ in gt} | {c for c, _, _ in pred}
+    )
+    out = []
+    for cls in classes:
+        g = np.array([b for c, b in gt if c == cls], dtype=np.float64).reshape(-1, 4)
+        p = [(b, s) for c, b, s in pred if c == cls]
+        p.sort(key=lambda x: -x[1])
+        p = p[:max_det]
+        pb = np.array([b for b, _ in p], dtype=np.float64).reshape(-1, 4)
+        ps = np.array([s for _, s in p], dtype=np.float64)
+        ious = iou_matrix(g, pb)
+        for ti, thr in enumerate(IOU_THRESHOLDS):
+            tp = _match_predictions(ious, ps, thr)
+            out.append(
+                {
+                    "cls": int(cls),
+                    "thr_idx": int(ti),
+                    "scores": ps.tolist(),
+                    "tp": tp.tolist(),
+                    "n_gt": int(len(g)),
+                }
+            )
+    return out
+
+
+def pooled_average_precision(
+    scores: np.ndarray, tp: np.ndarray, n_gt: int
+) -> float:
+    """AP over pooled multi-image detections: global sort by score
+    descending (stable), then the usual 101-point interpolation."""
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores, kind="stable")
+    return average_precision(tp[order].astype(bool), n_gt)
+
+
+def merged_map_local(docs: list[tuple[list, list]]) -> dict[str, float]:
+    """Single-process oracle for dataset mAP: pool match partials from every
+    document, AP per (class, threshold), mean over them."""
+    from collections import defaultdict
+
+    pool: dict[tuple[int, int], list] = defaultdict(lambda: [[], [], 0])
+    for gt, pred in docs:
+        for st in match_stats(gt, pred):
+            slot = pool[(st["cls"], st["thr_idx"])]
+            slot[0].extend(st["scores"])
+            slot[1].extend(st["tp"])
+            slot[2] += st["n_gt"]
+    aps: dict[tuple[int, int], float] = {}
+    for (cls, ti), (scores, tp, n_gt) in pool.items():
+        aps[(cls, ti)] = pooled_average_precision(
+            np.array(scores), np.array(tp), n_gt
+        )
+    vals = np.array(list(aps.values()))
+    v50 = np.array([v for (c, t), v in aps.items() if t == 0])
+    v75 = np.array([v for (c, t), v in aps.items() if t == 5])
+    return {
+        "map": float(np.nanmean(vals)),
+        "map_50": float(np.nanmean(v50)),
+        "map_75": float(np.nanmean(v75)),
     }

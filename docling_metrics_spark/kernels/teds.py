@@ -32,6 +32,7 @@ our UDFs catch and emit an error struct column.
 from __future__ import annotations
 
 import ast
+import json
 import re
 from dataclasses import dataclass, field
 from html.parser import HTMLParser
@@ -74,7 +75,12 @@ def _serialize(node: TableNode, out: list[str]) -> None:
     if node.is_cell():
         out.append(
             '{"tag": %s, "colspan": %d, "rowspan": %d, "text": %s'
-            % (node.tag, node.colspan or 1, node.rowspan or 1, node.content or [])
+            % (
+                node.tag,
+                node.colspan or 1,
+                node.rowspan or 1,
+                json.dumps(node.content or []),
+            )
         )
     else:
         out.append('{"tag": %s' % node.tag)
@@ -114,10 +120,16 @@ def _parse_node(s: str, pos: int) -> tuple[TableNode, int]:
         text_m = _TEXT_RE.match(s, pos)
         if text_m:
             pos = text_m.end()
+            lit = text_m.group(1)
             try:
-                node.content = [str(t) for t in ast.literal_eval(text_m.group(1))]
-            except (ValueError, SyntaxError) as exc:
-                raise ValueError(f"bad text literal at position {pos}") from exc
+                node.content = [str(t) for t in json.loads(lit)]
+            except ValueError:
+                try:
+                    node.content = [str(t) for t in ast.literal_eval(lit)]
+                except (ValueError, SyntaxError) as exc:
+                    raise ValueError(
+                        f"bad text literal at position {pos}"
+                    ) from exc
         else:
             node.content = []
 
@@ -281,12 +293,12 @@ def tree_edit_distance(root1: TableNode, root2: TableNode) -> float:
     """Zhang–Shasha TED with unit insert/delete and custom rename cost."""
     t1, l1 = _postorder(root1)
     t2, l2 = _postorder(root2)
+    _rename_memo.clear()
     n1, n2 = len(t1), len(t2)
 
-    keyroots1 = [i for i in range(n1) if i == n1 - 1 or not any(
-        l1[j] == l1[i] for j in range(i + 1, n1))]
-    keyroots2 = [i for i in range(n2) if i == n2 - 1 or not any(
-        l2[j] == l2[i] for j in range(i + 1, n2))]
+    # keyroot = last node (in postorder) with its leftmost-leaf value
+    keyroots1 = sorted({l1[i]: i for i in range(n1)}.values())
+    keyroots2 = sorted({l2[i]: i for i in range(n2)}.values())
 
     td = [[0.0] * n2 for _ in range(n1)]
 
@@ -294,6 +306,9 @@ def tree_edit_distance(root1: TableNode, root2: TableNode) -> float:
         for k2 in keyroots2:
             _treedist(k1, k2, t1, t2, l1, l2, td)
     return td[n1 - 1][n2 - 1]
+
+
+_rename_memo: dict[tuple[int, int], float] = {}
 
 
 def _treedist(i: int, j: int, t1, t2, l1, l2, td) -> None:
@@ -310,7 +325,11 @@ def _treedist(i: int, j: int, t1, t2, l1, l2, td) -> None:
         for y in range(1, n):
             node2 = t2[lj + y - 1]
             if l1[li + x - 1] == li and l2[lj + y - 1] == lj:
-                cost = rename_cost(node1, node2)
+                memo_key = (id(node1), id(node2))
+                cost = _rename_memo.get(memo_key)
+                if cost is None:
+                    cost = rename_cost(node1, node2)
+                    _rename_memo[memo_key] = cost
                 fd[x][y] = min(
                     fd[x - 1][y] + 1.0,
                     fd[x][y - 1] + 1.0,
@@ -332,6 +351,12 @@ def teds_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]
 
     Formula: cpp_src/pybind/teds_manager.h:87-96 (C++ path node counts are
     full bracket-tree sizes)."""
+    if bracket_a == bracket_b:
+        # identical serialization ⇒ identical tree ⇒ TED 0 (validate +
+        # size without the O(n²·depth²) DP); size = one '{' per node
+        bracket_to_tree(bracket_a)  # still reject malformed input
+        n = bracket_a.count("{")
+        return 1.0, n, n
     ta = bracket_to_tree(bracket_a)
     tb = bracket_to_tree(bracket_b)
     na, nb = ta.size(), tb.size()

@@ -82,13 +82,15 @@ def bleu(prediction_tokens: list[str], reference_tokens: list[str],
         return 0.0
     log_sum = 0.0
     for n in range(1, max_n + 1):
-        pred_ngrams = Counter(
-            tuple(prediction_tokens[i : i + n]) for i in range(pred_len - n + 1)
-        )
-        ref_ngrams = Counter(
-            tuple(reference_tokens[i : i + n]) for i in range(ref_len - n + 1)
-        )
-        total = sum(pred_ngrams.values())
+        # zip-of-shifted-views builds n-gram tuples in C, ~3× the sliced
+        # comprehension; unigrams skip tuple-wrapping entirely
+        if n == 1:
+            pred_ngrams = Counter(prediction_tokens)
+            ref_ngrams = Counter(reference_tokens)
+        else:
+            pred_ngrams = Counter(zip(*(prediction_tokens[i:] for i in range(n))))
+            ref_ngrams = Counter(zip(*(reference_tokens[i:] for i in range(n))))
+        total = max(pred_len - n + 1, 0)
         if total == 0:
             return 0.0
         matched = sum(min(c, ref_ngrams[g]) for g, c in pred_ngrams.items())

@@ -64,6 +64,14 @@ _CONTRACTIONS = [
 ]
 
 
+# Texts containing only word characters and spaces can only be touched by
+# the apostrophe-free contraction rules (cannot/gimme/gonna/gotta/lemme/
+# wanna); everything else anchors on punctuation or quotes. When neither
+# applies, tokenization degenerates to a whitespace split.
+_NO_RULE_RE = re.compile(r"[A-Za-z0-9 \n\t]*\Z")
+_PLAIN_CONTRACTIONS = {"cannot", "gimme", "gonna", "gotta", "lemme", "wanna"}
+
+
 def treebank_tokenize(text: str) -> list[str]:
     """Tokenize ``text`` into Penn-Treebank-style word tokens.
 
@@ -72,6 +80,11 @@ def treebank_tokenize(text: str) -> list[str]:
     """
     if text is None:
         return []
+    if _NO_RULE_RE.match(text):
+        toks = text.split()
+        if not any(t.lower() in _PLAIN_CONTRACTIONS for t in toks):
+            # fast path: no rule can fire — same result as the full chain
+            return toks
     for pat, repl in _STARTING_QUOTES:
         text = pat.sub(repl, text)
     for pat, repl in _PUNCTUATION:

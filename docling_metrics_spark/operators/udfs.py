@@ -351,3 +351,77 @@ def make_tore_final_udf(n_classes: int):
         return pd.DataFrame(rows)
 
     return tore_final_udf
+
+
+MATCH_STATS_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("cls", IntegerType()),
+            StructField("thr_idx", IntegerType()),
+            StructField("scores", ArrayType(DoubleType())),
+            StructField("tp", ArrayType(IntegerType())),
+            StructField("n_gt", IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(MATCH_STATS_TYPE)
+def match_stats_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
+    """Per-document COCO matching partials for dataset-level mAP
+    (decomposition of map_layout_evaluator.py:50-99, see
+    kernels.layout.match_stats)."""
+    from docling_metrics_spark.kernels.layout import match_stats
+
+    out = []
+    for g, p in zip(gt_boxes, pred_boxes):
+        gt = [
+            (int(b["category_id"]), list(b["bbox"]))
+            for b in (g if g is not None else [])
+        ]
+        pr = [
+            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
+            for b in (p if p is not None else [])
+        ]
+        stats = match_stats(gt, pr)
+        out.append(
+            [
+                {
+                    "cls": s["cls"],
+                    "thr_idx": s["thr_idx"],
+                    "scores": s["scores"],
+                    "tp": [int(v) for v in s["tp"]],
+                    "n_gt": s["n_gt"],
+                }
+                for s in stats
+            ]
+        )
+    return pd.Series(out)
+
+
+POOLED_AP_SCHEMA = "cls int, thr_idx int, ap double, n_gt bigint"
+
+
+def pooled_ap_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per (class, threshold) group: pool all documents' (score, tp) pairs,
+    compute AP over the globally sorted pool."""
+    import numpy as np
+
+    from docling_metrics_spark.kernels.layout import pooled_average_precision
+
+    scores = np.concatenate([np.asarray(s, dtype=float) for s in pdf["scores"]]) \
+        if len(pdf) else np.empty(0)
+    tp = np.concatenate([np.asarray(t, dtype=int) for t in pdf["tp"]]) \
+        if len(pdf) else np.empty(0, dtype=int)
+    n_gt = int(pdf["n_gt"].sum())
+    ap = pooled_average_precision(scores, tp, n_gt)
+    return pd.DataFrame(
+        [
+            {
+                "cls": int(pdf["cls"].iloc[0]),
+                "thr_idx": int(pdf["thr_idx"].iloc[0]),
+                "ap": ap,
+                "n_gt": n_gt,
+            }
+        ]
+    )

@@ -1615,3 +1615,34 @@ def checkpointed_metrics(spark, sf_dir):
         .withColumn("total_docs", F.lit(n_docs))
         .orderBy("bucket")
     )
+
+
+@query("layout_map_dataset")
+def layout_map_dataset(spark, sf_dir):
+    """Dataset-level (pooled) mAP — the reference's holistic evaluation
+    (map_layout_evaluator.py:50-99) decomposed for the cluster: per-doc
+    matching partials (narrow UDF) → explode → groupBy(class, threshold)
+    pooled AP (applyInPandas; key space = classes×10, uniform) → final
+    means. No stage ever holds more than one (class, threshold) pool."""
+    from docling_metrics_spark.operators.udfs import (
+        POOLED_AP_SCHEMA,
+        match_stats_udf,
+        pooled_ap_group,
+    )
+
+    docs = _corpus(spark, sf_dir, cap=500)
+    parts = docs.select(
+        F.explode(match_stats_udf("gt_boxes", "pred_boxes")).alias("s")
+    ).select("s.*")
+    aps = parts.groupBy("cls", "thr_idx").applyInPandas(
+        pooled_ap_group, schema=POOLED_AP_SCHEMA
+    )
+    return aps.agg(
+        F.round(F.avg("ap"), 6).alias("map"),
+        F.round(
+            F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))), 6
+        ).alias("map_50"),
+        F.round(
+            F.avg(F.when(F.col("thr_idx") == 5, F.col("ap"))), 6
+        ).alias("map_75"),
+    )

@@ -164,3 +164,45 @@ def test_teds_error_channel(spark):
     )
     row = df.select(teds_doc_udf("gt", "pred").alias("t")).collect()[0].t
     assert row.error_count >= 0 and row.teds_mean is not None
+
+
+def test_dataset_map_matches_local(spark):
+    """Distributed pooled mAP == single-process merged oracle."""
+    from docling_metrics_spark.datagen import gen_document
+    from docling_metrics_spark.kernels.layout import merged_map_local
+    from docling_metrics_spark.plans.queries import layout_map_dataset
+
+    local_docs = [gen_document(i) for i in range(200)]
+    args = [
+        (
+            [(b["category_id"], b["bbox"]) for b in d["gt_boxes"]],
+            [(b["category_id"], b["bbox"], b["score"]) for b in d["pred_boxes"]],
+        )
+        for d in local_docs
+    ]
+    want = merged_map_local(args)
+    # the query caps the corpus at 500 docs ≥ sf0.001's 500 rows → use a
+    # matching 200-doc slice via a monkey-ish direct build instead
+    from docling_metrics_spark.datagen import generate_documents_df
+    from docling_metrics_spark.operators.udfs import (
+        POOLED_AP_SCHEMA,
+        match_stats_udf,
+        pooled_ap_group,
+    )
+    from pyspark.sql import functions as F
+
+    docs = generate_documents_df(spark, 200)
+    parts = docs.select(
+        F.explode(match_stats_udf("gt_boxes", "pred_boxes")).alias("s")
+    ).select("s.*")
+    aps = parts.groupBy("cls", "thr_idx").applyInPandas(
+        pooled_ap_group, schema=POOLED_AP_SCHEMA
+    )
+    got = aps.agg(
+        F.avg("ap").alias("map"),
+        F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))).alias("map_50"),
+        F.avg(F.when(F.col("thr_idx") == 5, F.col("ap"))).alias("map_75"),
+    ).collect()[0]
+    assert abs(got["map"] - want["map"]) < 1e-9
+    assert abs(got["map_50"] - want["map_50"]) < 1e-9
+    assert abs(got["map_75"] - want["map_75"]) < 1e-9
