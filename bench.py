@@ -22,6 +22,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # module-level: pandas_udf resolves type hints here
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # Headline queries: flagship UDF pipeline + one per operator family.
@@ -61,8 +63,23 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
     timings: dict[str, float] = {}
     n_docs = 0
 
-    # Warm the JVM + Python worker pool so q1 doesn't pay session startup.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM AND the Python worker pool (a pandas UDF forks one
+    # worker per slot and pays pandas/numpy import once, here instead of
+    # inside the first measured query).
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        from docling_metrics_spark.kernels.textmetrics import evaluate_text_pair  # noqa: F401
+
+        return v * 1.0
+
+    n_slots = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_slots * 4, numPartitions=n_slots * 4)
+        .select(F.sum(_warm(F.col("id").cast("double"))))
+        .collect()
+    )
 
     for name in HEADLINE:
         fn = qs.get(name)

@@ -718,10 +718,12 @@ def _corpus(spark, sf_dir, cap: int = 2000):
 
 @query("extract_spans_pipeline")
 def extract_spans_pipeline(spark, sf_dir):
-    """Flagship: HTML boilerplate strip → span equality → per-doc metrics."""
+    """Flagship: HTML boilerplate strip → span equality → per-doc metrics.
+    Corpus size matches the sf tier's documents table (no sampling cap —
+    the kernels sustain it after the round-1 optimization pass)."""
     from docling_metrics_spark.pipeline import run_pipeline
 
-    return run_pipeline(_corpus(spark, sf_dir)).orderBy("doc_id")
+    return run_pipeline(_corpus(spark, sf_dir, cap=100_000)).orderBy("doc_id")
 
 
 @query("extraction_summary")
@@ -729,7 +731,7 @@ def extraction_summary(spark, sf_dir):
     """Dataset-level salted two-stage aggregation of the flagship metrics."""
     from docling_metrics_spark.pipeline import aggregate_metrics, run_pipeline
 
-    return aggregate_metrics(run_pipeline(_corpus(spark, sf_dir)))
+    return aggregate_metrics(run_pipeline(_corpus(spark, sf_dir, cap=100_000)))
 
 
 @query("token_edit_distance_pairs")
