@@ -49,9 +49,15 @@ HEADLINE = [
 ]
 
 
-def _count(df) -> int:
-    """Force full execution without collecting rows to the driver."""
-    return df.count()
+def _force(df) -> None:
+    """Force FULL execution of every column, including pandas-UDF outputs.
+
+    ``df.count()`` is NOT enough: Catalyst prunes columns a count does not
+    need, which silently skips ArrowEvalPython nodes — the timing then
+    measures a bare parquet row count (CLAUDE.md pitfall; flagged in
+    round-1 ADVICE). The noop sink materializes every column.
+    """
+    df.write.format("noop").mode("overwrite").save()
 
 
 def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
@@ -87,10 +93,12 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
             continue
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = _count(df)
+        _force(df)
         timings[name] = round(time.time() - t0, 3)
         if name == "extract_spans_pipeline":
-            n_docs = n
+            # Row count for docs/sec, measured OUTSIDE the timed window
+            # (the count() plan prunes UDF columns, so it is cheap).
+            n_docs = fn(spark, sf_dir).count()
 
     total = round(sum(timings.values()), 3)
     flagship = timings.get("extract_spans_pipeline", 0.0)

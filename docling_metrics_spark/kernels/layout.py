@@ -131,21 +131,31 @@ def evaluate_map(
 
 
 # ---------------------------------------------------------------------------
-# TORE-style multi-label pixel confusion matrix
+# TORE multi-label pixel confusion matrix — the reference's exact 4-case
+# weighted contribution algebra (multi_label_confusion_matrix.py:163-377),
+# vectorized over np.unique-compressed (gt_mask, pred_mask) pixel pairs.
 # ---------------------------------------------------------------------------
 
-BACKGROUND_BIT = 0  # bit 0 = background, class k -> bit k+1
+BACKGROUND_BIT = 0  # bit 0 = background class; data class k -> bit k+1
+
+
+def unpackbits64(x: np.ndarray, num_bits: int) -> np.ndarray:
+    """Low ``num_bits`` bits of a 1-D uint64 array → (n, num_bits) float
+    0/1 matrix (reference unpackbits, multi_label_confusion_matrix.py:17-25)."""
+    mask = np.left_shift(np.uint64(1), np.arange(num_bits, dtype=np.uint64))
+    return ((x[:, None] & mask[None, :]) != 0).astype(np.float64)
 
 
 def rasterize_multilabel(
     boxes: list[tuple[int, list[float]]], width: int, height: int,
-    n_classes: int,
+    n_classes: int, set_background: bool = True,
 ) -> np.ndarray:
     """Rasterize (category_id, xyxy) boxes into a (h, w) uint64 bitmask image.
 
-    Pixel bit layout: bit 0 set when *no* class covers the pixel
-    (background), bit (k+1) set when class k covers it — mirroring the
-    reference's encoding (multi_label_confusion_matrix.py:75-121)."""
+    Pixel bit layout: data class k sets bit (k+1); bit 0 is set on pixels no
+    class covers (the background class, category index 0 in the matrix) —
+    the reference's encoding (multi_label_confusion_matrix.py:75-121) with
+    our synthetic category ids shifted up one so background owns bit 0."""
     if n_classes > 62:
         raise ValueError("at most 62 classes fit the uint64 bitmask encoding")
     img = np.zeros((height, width), dtype=np.uint64)
@@ -154,72 +164,132 @@ def rasterize_multilabel(
         xb, yb = min(int(np.ceil(x2)), width), min(int(np.ceil(y2)), height)
         if xb > xa and yb > ya:
             img[ya:yb, xa:xb] |= np.uint64(1 << (cls + 1))
-    img[img == 0] = np.uint64(1 << BACKGROUND_BIT)
+    if set_background:
+        img[img == 0] = np.uint64(1 << BACKGROUND_BIT)
     return img
 
 
-def _mask_to_classes(mask: int, n_classes: int) -> list[int]:
-    """Bitmask → class indices, with index n_classes meaning background."""
-    out = []
-    if mask & 1:
-        out.append(n_classes)
-    for k in range(n_classes):
-        if mask & (1 << (k + 1)):
-            out.append(k)
-    return out
+def confusion_matrix_binary(
+    gt_img: np.ndarray, pred_img: np.ndarray, num_categories: int
+) -> np.ndarray:
+    """Reference TORE contribution algebra over bit-encoded pixel images.
+
+    Category c is bit c; returns a [num_categories, num_categories] float
+    matrix. Pixels are compressed to unique (gt, pred) pairs with counts
+    (multi_label_confusion_matrix.py:28-56) and each pair contributes via
+    exactly one of the reference's four cases (ibid. 163-377):
+
+    1. gt == pred              → +1 on the diagonal of every gt class.
+    2. pred ⊋ gt               → diag gets |gt|/|pred| per gt class; each
+                                 (gt class i, pred-only class j) gets 1/|pred|.
+    3. gt ⊋ pred               → diag gets 1 per pred class; each
+                                 (gt-only i, pred class j) gets 1/|pred|.
+    4. mutual difference       → diag gets 1 per gt∩pred class; each
+                                 (gt-only i, pred-only j) gets 1/|pred-only|.
+
+    Invariants (reference _validate_contributions, ibid. 490-534): per-pixel
+    row sums equal the gt bit vector; total weight equals Σ popcount(gt)."""
+    g_flat = np.ascontiguousarray(gt_img, dtype=np.uint64).ravel()
+    p_flat = np.ascontiguousarray(pred_img, dtype=np.uint64).ravel()
+    # compress to unique (g, p) pairs with counts
+    if 2 * num_categories <= 64:
+        # pack both masks into one uint64 — 1-D np.unique is ~10× faster
+        # than the row-sorting axis=0 variant on megapixel pages
+        shift = np.uint64(num_categories)
+        packed = (g_flat << shift) | p_flat
+        keys, counts = np.unique(packed, return_counts=True)
+        p = keys & ((np.uint64(1) << shift) - np.uint64(1))
+        g = keys >> shift
+    else:
+        pairs = np.stack([g_flat, p_flat], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        g, p = uniq[:, 0], uniq[:, 1]
+    w = counts.astype(np.float64)
+
+    C = num_categories
+    cm = np.zeros((C, C), dtype=np.float64)
+    gbits = unpackbits64(g, C)  # [u, C] 0/1
+    pbits = unpackbits64(p, C)
+    p_pop = pbits.sum(axis=1)
+
+    eq = g == p
+    # Case 1: perfect prediction — weighted diagonal of gt bits.
+    if eq.any():
+        cm += np.diag((gbits[eq] * w[eq, None]).sum(axis=0))
+
+    ne = ~eq
+    # Case 2: pred strictly contains gt.
+    c2 = ne & ((g & p) == g)
+    if c2.any():
+        inter = gbits[c2]              # gt ⊆ pred ⇒ intersection bits = gt bits
+        diff = pbits[c2] - gbits[c2]   # pred-only bits
+        wk = w[c2] / p_pop[c2]
+        cm += np.einsum("k,ki,kj->ij", wk, inter, diff)
+        g_pop2 = gbits[c2].sum(axis=1)
+        cm += np.diag((gbits[c2] * (g_pop2 * wk)[:, None]).sum(axis=0))
+
+    # Case 3: gt strictly contains pred.
+    c3 = ne & ((g | p) == g)
+    if c3.any():
+        gdiff = gbits[c3] - pbits[c3]  # gt-only bits
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wk = w[c3] / p_pop[c3]
+        cm += np.einsum("k,ki,kj->ij", wk, gdiff, pbits[c3])
+        cm += np.diag((pbits[c3] * w[c3, None]).sum(axis=0))
+
+    # Case 4: both sides hold classes missing from the other.
+    d = g ^ p
+    c4 = ((d & g) > 0) & ((d & p) > 0)
+    if c4.any():
+        gdiff = gbits[c4] * (1.0 - pbits[c4])
+        pdiff = pbits[c4] * (1.0 - gbits[c4])
+        inter = gbits[c4] * pbits[c4]
+        wk = w[c4] / pdiff.sum(axis=1)
+        cm += np.einsum("k,ki,kj->ij", wk, gdiff, pdiff)
+        cm += np.diag((inter * w[c4, None]).sum(axis=0))
+    return cm
 
 
 def confusion_matrix_from_masks(
     gt_img: np.ndarray, pred_img: np.ndarray, n_classes: int
 ) -> np.ndarray:
-    """Dense (n_classes+1)² confusion matrix from two bitmask images.
-
-    Pixels are first compressed to unique (gt_mask, pred_mask) pairs with
-    counts — the np.unique run-length trick of the reference
-    (multi_label_confusion_matrix.py:28-56) — so cost is O(unique pairs).
-    Each pixel contributes total weight 1, split uniformly over its gt
-    classes; each gt class's weight goes to the diagonal if matched in pred,
-    else uniformly over the pred classes it could be confused with."""
-    pairs = np.stack([gt_img.ravel(), pred_img.ravel()], axis=1)
-    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
-    size = n_classes + 1  # background is the last row/col
-    cm = np.zeros((size, size), dtype=np.float64)
-    for (g_mask, p_mask), cnt in zip(uniq, counts):
-        g_classes = _mask_to_classes(int(g_mask), n_classes)
-        p_classes = _mask_to_classes(int(p_mask), n_classes)
-        w_per_gt = cnt / len(g_classes)
-        matched = [g for g in g_classes if g in p_classes]
-        unmatched_g = [g for g in g_classes if g not in p_classes]
-        unmatched_p = [p for p in p_classes if p not in g_classes]
-        for g in matched:
-            cm[g, g] += w_per_gt
-        if unmatched_g:
-            targets = unmatched_p if unmatched_p else [n_classes]
-            w_split = w_per_gt / len(targets)
-            for g in unmatched_g:
-                for p in targets:
-                    cm[g, p] += w_split
-    return cm
+    """(n_classes+1)² confusion matrix from two :func:`rasterize_multilabel`
+    images; row/col 0 is background, data class k is row/col k+1."""
+    return confusion_matrix_binary(gt_img, pred_img, n_classes + 1)
 
 
 def confusion_metrics(cm: np.ndarray) -> dict[str, float]:
-    """Per-class P/R/F1 means from a confusion matrix
-    (reference shape: multi_label_confusion_matrix.py:419-488)."""
+    """Per-class P/R/F1 means from a confusion matrix, matching the
+    reference's math exactly (multi_label_confusion_matrix.py:419-488):
+    zero (not NaN) where a row/column sum is empty, plain mean over ALL
+    classes in the matrix."""
     diag = np.diag(cm)
     col_sums = cm.sum(axis=0)
     row_sums = cm.sum(axis=1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        precision = np.where(col_sums > 0, diag / col_sums, np.nan)
-        recall = np.where(row_sums > 0, diag / row_sums, np.nan)
-        f1 = np.where(
-            (precision + recall) > 0, 2 * precision * recall / (precision + recall),
-            np.nan,
-        )
+    precision = np.divide(diag, col_sums, out=np.zeros_like(diag),
+                          where=col_sums != 0)
+    recall = np.divide(diag, row_sums, out=np.zeros_like(diag),
+                       where=row_sums != 0)
+    denom = precision + recall
+    f1 = np.divide(2 * precision * recall, denom, out=np.zeros_like(diag),
+                   where=denom != 0)
     return {
-        "precision_mean": float(np.nanmean(precision)),
-        "recall_mean": float(np.nanmean(recall)),
-        "f1_mean": float(np.nanmean(f1)),
+        "precision_mean": float(np.average(precision)),
+        "recall_mean": float(np.average(recall)),
+        "f1_mean": float(np.average(f1)),
     }
+
+
+def collapsed_confusion_matrix(cm: np.ndarray) -> np.ndarray:
+    """Collapse all non-background classes into one (reference
+    compute_metrics, multi_label_confusion_matrix.py:396-411): 2×2 matrix
+    [[bg→bg, bg→any], [any→bg, any→any]] with background at index 0."""
+    return np.asarray(
+        [
+            [cm[0, 0], np.sum(cm[0, 1:])],
+            [np.sum(cm[1:, 0]), np.sum(cm[1:, 1:])],
+        ]
+    )
 
 
 def match_stats(

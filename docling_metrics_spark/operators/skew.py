@@ -85,23 +85,29 @@ def salted_agg(
 def salted_array_sum(
     df: DataFrame, array_col: str, n_salts: int = 32
 ) -> DataFrame:
-    """Element-wise sum of an ARRAY<DOUBLE> column in two salted stages —
-    the distributed twin of the reference's confusion-matrix summation.
-    Returns a single-row DataFrame with column ``summed`` (ARRAY<DOUBLE>)."""
-    salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    """Element-wise sum of an ARRAY<DOUBLE> column — the distributed twin of
+    the reference's confusion-matrix summation (tore_layout_evaluator.py:
+    224-245). Returns a single-row DataFrame with column ``summed``.
+
+    Shape: posexplode to (slot index, value) rows, then a plain
+    ``groupBy(idx).sum(val)``. Spark's hash aggregate combines map-side, so
+    every executor holds at most one double per array slot — constant memory
+    regardless of row count (unlike a collect_list of whole arrays, which
+    buffers N/n_salts full matrices per reducer). The ``n_salts`` argument
+    is kept for API stability but is unnecessary here: the shuffle key is
+    the slot index, whose cardinality equals the array length, and partial
+    aggregation already fans the hot keys over all map tasks."""
+    exploded = df.select(F.posexplode(array_col).alias("_idx", "_val"))
+    summed = (
+        exploded.groupBy("_idx")
+        .agg(F.sum("_val").alias("_sum"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_idx", "_sum"))
+            ).alias("_pairs")
+        )
+        .select(
+            F.transform(F.col("_pairs"), lambda s: s._sum).alias("summed")
+        )
     )
-    partial = salted.groupBy("_salt").agg(
-        F.aggregate(
-            F.collect_list(array_col),
-            F.expr(f"transform(first({array_col}), x -> cast(0.0 as double))"),
-            lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
-        ).alias("partial")
-    )
-    return partial.agg(
-        F.aggregate(
-            F.collect_list("partial"),
-            F.expr("transform(first(partial), x -> cast(0.0 as double))"),
-            lambda acc, arr: F.zip_with(acc, arr, lambda a, b: a + b),
-        ).alias("summed")
-    )
+    return summed

@@ -335,17 +335,29 @@ def make_tore_final_udf(n_classes: int):
                 StructField("precision_mean", DoubleType()),
                 StructField("recall_mean", DoubleType()),
                 StructField("f1_mean", DoubleType()),
+                StructField("collapsed_precision_mean", DoubleType()),
+                StructField("collapsed_recall_mean", DoubleType()),
+                StructField("collapsed_f1_mean", DoubleType()),
                 StructField("total_weight", DoubleType()),
             ]
         )
     )
     def tore_final_udf(summed_col: pd.Series) -> pd.DataFrame:
-        from docling_metrics_spark.kernels.layout import confusion_metrics
+        from docling_metrics_spark.kernels.layout import (
+            collapsed_confusion_matrix,
+            confusion_metrics,
+        )
 
         rows = []
         for arr in summed_col:
             cm = np.asarray(arr, dtype=float).reshape(n_cm, n_cm)
             m = confusion_metrics(cm)
+            # reference emits detailed + background-vs-all collapsed metrics
+            # (multi_label_confusion_matrix.py:396-417)
+            collapsed = confusion_metrics(collapsed_confusion_matrix(cm))
+            m["collapsed_precision_mean"] = collapsed["precision_mean"]
+            m["collapsed_recall_mean"] = collapsed["recall_mean"]
+            m["collapsed_f1_mean"] = collapsed["f1_mean"]
             m["total_weight"] = float(cm.sum())
             rows.append(m)
         return pd.DataFrame(rows)

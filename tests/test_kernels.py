@@ -255,23 +255,125 @@ def test_map_wrong_class_is_zero():
 
 
 def test_confusion_matrix_exact_match_diagonal():
+    import numpy as np
+
     boxes = [(0, [0.0, 0.0, 5.0, 5.0]), (1, [5.0, 5.0, 10.0, 10.0])]
     img = rasterize_multilabel(boxes, 12, 10, n_classes=3)
     cm = confusion_matrix_from_masks(img, img, n_classes=3)
-    assert cm.sum() == pytest.approx(120.0)  # total weight == pixel count
-    import numpy as np
-
+    # invariant: total weight == sum of per-pixel gt popcounts (no overlap
+    # here, so == pixel count); reference _validate_contributions full-sum
+    assert cm.sum() == pytest.approx(120.0)
     off_diag = cm - np.diag(np.diag(cm))
     assert off_diag.sum() == 0.0
     m = confusion_metrics(cm)
-    assert m["f1_mean"] == 1.0
+    # class 2 never appears: its precision/recall/f1 are 0 (reference zeros,
+    # not NaN) so the plain mean over 4 classes (bg + 3) is 3/4
+    assert m["f1_mean"] == pytest.approx(0.75)
 
 
 def test_confusion_matrix_mismatch():
+    # gt = class 0 everywhere, pred = class 1 everywhere → case 4 (mutual
+    # difference): all weight lands on (gt class 0 → pred class 1); matrix
+    # indices shift by 1 because index 0 is background
     gt = rasterize_multilabel([(0, [0.0, 0.0, 10.0, 10.0])], 10, 10, 2)
     pred = rasterize_multilabel([(1, [0.0, 0.0, 10.0, 10.0])], 10, 10, 2)
     cm = confusion_matrix_from_masks(gt, pred, 2)
-    assert cm[0, 1] == 100.0 and cm[0, 0] == 0.0
+    assert cm[1, 2] == 100.0 and cm[1, 1] == 0.0
+
+
+def test_confusion_matrix_reference_paper_example():
+    """The reference's paper fixture (test_multi_label_confusion_matrix.py:
+    61-201, from https://csitcp.org/paper/10/108csit01.pdf): 7 pixels over 4
+    classes exercising all four contribution cases. Expected values are the
+    paper's matrix at exact fractions (the reference asserts the same values
+    rounded to 2 dp differ at atol=1e-8 — i.e. it reproduces the paper up to
+    the paper's own rounding)."""
+    import numpy as np
+
+    from docling_metrics_spark.kernels.layout import confusion_matrix_binary
+
+    def enc(*classes):
+        v = 0
+        for c in classes:
+            v |= 1 << c
+        return v
+
+    # (gt, pred) per pixel; classes A,B,C,D = bits 0..3
+    A, B, C, D = 0, 1, 2, 3
+    pixels = [
+        (enc(A, B), enc(A, B)),        # case 1 exact
+        (enc(B, C), enc(A, B, C)),     # case 2 pred ⊇ gt
+        (enc(D), enc(A, D)),           # case 2
+        (enc(A, B, C, D), enc(B, C, D)),  # case 3 gt ⊇ pred
+        (enc(B, C), enc(B)),           # case 3
+        (enc(B, C), enc(A, B)),        # case 4 mutual diff
+        (enc(B, D), enc(A, C)),        # case 4, empty intersection
+    ]
+    gt = np.array([g for g, _ in pixels], dtype=np.uint64).reshape(1, -1)
+    pred = np.array([p for _, p in pixels], dtype=np.uint64).reshape(1, -1)
+    cm = confusion_matrix_binary(gt, pred, 4)
+
+    expected = np.array(
+        [
+            [1.0, 1 / 3, 1 / 3, 1 / 3],
+            [5 / 6, 14 / 3, 1 / 2, 0.0],
+            [4 / 3, 1.0, 5 / 3, 0.0],
+            [1.0, 0.0, 1 / 2, 3 / 2],
+        ]
+    )
+    assert np.allclose(cm, expected, atol=1e-12)
+    # reference-asserted normalization invariants: precision columns and
+    # recall rows each sum to 1
+    precision = cm / cm.sum(axis=0, keepdims=True)
+    recall = cm / cm.sum(axis=1, keepdims=True)
+    assert np.allclose(precision.sum(axis=0), 1.0)
+    assert np.allclose(recall.sum(axis=1), 1.0)
+    # total weight = Σ popcount(gt)
+    assert cm.sum() == pytest.approx(sum(bin(g).count("1") for g, _ in pixels))
+
+
+def test_confusion_matrix_vs_naive_per_pixel():
+    """Vectorized algebra == straightline per-pixel evaluation of the four
+    reference cases, on randomized non-empty masks."""
+    import numpy as np
+
+    from docling_metrics_spark.kernels.layout import confusion_matrix_binary
+
+    rng = np.random.default_rng(7)
+    C = 5
+
+    def naive(gt, pred):
+        cm = np.zeros((C, C))
+        for g, p in zip(gt.ravel().tolist(), pred.ravel().tolist()):
+            gset = {i for i in range(C) if g >> i & 1}
+            pset = {i for i in range(C) if p >> i & 1}
+            if g == p:
+                for i in gset:
+                    cm[i, i] += 1
+            elif gset < pset:
+                for i in gset:
+                    cm[i, i] += len(gset) / len(pset)
+                    for j in pset - gset:
+                        cm[i, j] += 1 / len(pset)
+            elif pset < gset:
+                for i in pset:
+                    cm[i, i] += 1
+                for i in gset - pset:
+                    for j in pset:
+                        cm[i, j] += 1 / len(pset)
+            else:
+                for i in gset & pset:
+                    cm[i, i] += 1
+                for i in gset - pset:
+                    for j in pset - gset:
+                        cm[i, j] += 1 / len(pset - gset)
+        return cm
+
+    for trial in range(10):
+        gt = rng.integers(1, 2**C, size=(6, 7)).astype(np.uint64)
+        pred = rng.integers(1, 2**C, size=(6, 7)).astype(np.uint64)
+        got = confusion_matrix_binary(gt, pred, C)
+        assert np.allclose(got, naive(gt, pred), atol=1e-12), f"trial {trial}"
 
 
 # ---------------------------------------------------------------------------
