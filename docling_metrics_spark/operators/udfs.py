@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     IntegerType,
     LongType,
@@ -437,3 +438,39 @@ def pooled_ap_group(pdf: pd.DataFrame) -> pd.DataFrame:
             }
         ]
     )
+
+
+MARKUSH_TYPE = StructType(
+    [
+        StructField("valid", BooleanType()),
+        StructField("tanimoto", DoubleType()),
+        StructField("tanimoto1", BooleanType()),
+        StructField("inchi_equality", BooleanType()),
+        StructField("string_equality", BooleanType()),
+        StructField("r", DoubleType()),
+        StructField("m", DoubleType()),
+        StructField("sg", DoubleType()),
+        StructField("num_fragments_gt", IntegerType()),
+        StructField("num_fragments_pred", IntegerType()),
+        StructField("num_fragments_equal", BooleanType()),
+        StructField("cxsmi_equality", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(MARKUSH_TYPE)
+def markush_pair_udf(gt_cx: pd.Series, pred_cx: pd.Series) -> pd.DataFrame:
+    """Per-pair Markush CXSMILES quality (reference
+    molecule_scores.py:176-666 surface; r/m/sg are nullable doubles so the
+    aggregate's null-skipping avg() reproduces the conditional means)."""
+    from docling_metrics_spark.kernels.markush import evaluate_markush_pair
+
+    rows = []
+    for g, p in zip(gt_cx, pred_cx):
+        s = evaluate_markush_pair(g, None if p is None else p)
+        rows.append({k: s[k] for k in (
+            "valid", "tanimoto", "tanimoto1", "inchi_equality",
+            "string_equality", "r", "m", "sg", "num_fragments_gt",
+            "num_fragments_pred", "num_fragments_equal", "cxsmi_equality",
+        )})
+    return pd.DataFrame(rows)

@@ -1494,6 +1494,141 @@ def smiles_quality(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.7 chemistry: Markush (CXSMILES) quality
+# ---------------------------------------------------------------------------
+
+
+def _markush_fixture(spark) -> str:
+    """Deterministic Markush CXSMILES GT/pred pairs parquet.
+
+    GT structures: a starred core fragment + 0-2 starred side fragments,
+    R-labels in the ``$...$`` section at the star positions, optional
+    m-section (multicenter attachment to 3 core ring atoms) and Sg-section
+    (repeat group over 2 core atoms) — the reference's input shape
+    (molecule_scores.py:176-221). Predictions perturbed: wrong R-label,
+    dropped side fragment, shifted m-section ring atom, illegal token;
+    every 19th prediction missing."""
+    import os as _os
+    import random as _random
+
+    path = "/tmp/dms_markush_fixture.parquet"
+    if not _os.path.exists(path):
+        from docling_metrics_spark.kernels.markush import parse_fragment
+
+        rng = _random.Random(20260817)
+        cores = ["C1CCCCC1", "c1ccccc1", "CC(=O)NC", "CCOC(=O)C", "C1CCNCC1"]
+        sides = ["CC", "CO", "CN", "CCl", "CBr"]
+        rows = []
+        for i in range(300):
+            frag_texts = ["*" + rng.choice(cores)] + [
+                "*" + rng.choice(sides) for _ in range(rng.randint(0, 2))
+            ]
+            # star positions = first atom of each fragment (global order)
+            n_atoms, star_pos = 0, []
+            for t in frag_texts:
+                star_pos.append(n_atoms)
+                n_atoms += len(parse_fragment(t)[0])
+            labels = [""] * n_atoms
+            for k, pos in enumerate(star_pos):
+                labels[pos] = f"R{k + 1}"
+            sections = ["$" + ";".join(labels) + "$"]
+            if rng.random() < 0.4:
+                sections.append(f"m:{star_pos[0]}:1.2.3")
+            if rng.random() < 0.3:
+                sections.append("Sg:n:2,3:F:ht")
+            gt = ".".join(frag_texts) + " |" + ",".join(sections) + "|"
+
+            r = rng.random()
+            if i % 19 == 7:
+                pred = None
+            elif r < 0.45:
+                pred = gt
+            elif r < 0.60:  # wrong R label
+                pred = gt.replace("R1", "R9", 1)
+            elif r < 0.70 and len(frag_texts) > 1:  # drop last side fragment
+                pred = (
+                    ".".join(frag_texts[:-1]) + " |" + ",".join(sections) + "|"
+                )
+            elif r < 0.85:  # shift an m-section ring atom (or no-op if none)
+                pred = gt.replace(":1.2.3", ":1.2.4")
+            else:  # illegal token → unparseable prediction
+                pred = gt.replace("C", "Cq", 1)
+            rows.append((i, gt, pred))
+        import pandas as _pd
+
+        _pd.DataFrame(rows, columns=["sid", "gt_cx", "pred_cx"]).to_parquet(path)
+    return path
+
+
+@query(
+    "markush_equality",
+    """
+    SELECT count(*) AS n,
+           round(avg(CASE WHEN pred_cx = gt_cx THEN 1.0 ELSE 0.0 END), 3)
+               AS string_equality_rate,
+           CAST(sum(CASE WHEN pred_cx IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing,
+           CAST(sum(CASE WHEN gt_cx LIKE '%|%' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_extension
+    FROM read_parquet('/tmp/dms_markush_fixture.parquet')
+    """,
+)
+def markush_equality(spark, sf_dir):
+    """SQL-expressible slice of the Markush aggregate: string equality,
+    missing-prediction count, extension presence."""
+    path = _markush_fixture(spark)
+    d = spark.read.parquet(path)
+    return d.agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.avg(F.when(F.col("pred_cx") == F.col("gt_cx"), 1.0).otherwise(0.0)),
+            3,
+        ).alias("string_equality_rate"),
+        F.sum(F.when(F.col("pred_cx").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("gt_cx").like("%|%"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_extension"),
+    )
+
+
+@query("markush_quality")
+def markush_quality(spark, sf_dir):
+    """Full Markush kernel + the reference aggregate's conditional means
+    (docling_metrics_chemistry.py:294-345): r/m/sg averaged only over
+    samples having the feature (Spark's null-skipping avg), cxsmi_equality
+    over Markush samples (num_fragments_gt > 0)."""
+    from docling_metrics_spark.operators.udfs import markush_pair_udf
+
+    path = _markush_fixture(spark)
+    d = spark.read.parquet(path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    scored = d.select(markush_pair_udf("gt_cx", "pred_cx").alias("s"))
+    return scored.agg(
+        F.count("*").alias("sample_count"),
+        F.round(F.avg("s.tanimoto"), 3).alias("mean_tanimoto"),
+        F.round(F.avg(F.col("s.valid").cast("double")), 3).alias("validity_rate"),
+        F.round(F.avg(F.col("s.string_equality").cast("double")), 3).alias(
+            "string_equality_rate"
+        ),
+        F.round(F.avg("s.r"), 3).alias("mean_r"),
+        F.round(F.avg("s.m"), 3).alias("mean_m"),
+        F.round(F.avg("s.sg"), 3).alias("mean_sg"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("s.num_fragments_gt") > 0,
+                    F.col("s.cxsmi_equality").cast("double"),
+                )
+            ),
+            3,
+        ).alias("cxsmi_equality_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # bucketed co-located join: the shuffle-free big-big join strategy
 # ---------------------------------------------------------------------------
 
