@@ -178,13 +178,25 @@ def html_to_cells(html: str) -> list[dict]:
     from docling_metrics_spark.kernels.teds import html_to_tree
 
     tree = html_to_tree(html)
-    rows = [n for n in tree.children if n.tag == "tr"]
+
+    # Collect tr nodes from the WHOLE tree (rows are routinely wrapped in
+    # thead/tbody/tfoot — the shape the reference's own cells_to_html emits;
+    # its html_to_cells stack-walks every node, grits.py:487-534).
+    rows: list = []
+    stack = [tree]
+    while stack:
+        node = stack.pop()
+        if node.tag == "tr":
+            rows.append(node)
+        else:
+            stack.extend(reversed(node.children))
+
     occupied: dict[tuple[int, int], bool] = {}
     cells: list[dict] = []
     for r, row in enumerate(rows):
         c = 0
         for cell in row.children:
-            if cell.tag != "td":
+            if cell.tag not in ("td", "th"):
                 continue
             while occupied.get((r, c)):
                 c += 1

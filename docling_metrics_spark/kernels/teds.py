@@ -352,10 +352,12 @@ def teds_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]
     Formula: cpp_src/pybind/teds_manager.h:87-96 (C++ path node counts are
     full bracket-tree sizes)."""
     if bracket_a == bracket_b:
-        # identical serialization ⇒ identical tree ⇒ TED 0 (validate +
-        # size without the O(n²·depth²) DP); size = one '{' per node
-        bracket_to_tree(bracket_a)  # still reject malformed input
-        n = bracket_a.count("{")
+        # identical serialization ⇒ identical tree ⇒ TED 0; still parse to
+        # reject malformed input, and take the size from the TREE — counting
+        # '{' in the string over-counts when cell text itself contains
+        # braces (it is JSON-embedded), which would disagree with the
+        # tree.size() reported on the non-identical path
+        n = bracket_to_tree(bracket_a).size()
         return 1.0, n, n
     ta = bracket_to_tree(bracket_a)
     tb = bracket_to_tree(bracket_b)

@@ -236,12 +236,17 @@ def minhash_bands_udf(text: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@F.pandas_udf(StringType())
+@F.pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash as zero-padded hex (string keeps it unsigned-safe)."""
-    return pd.Series(
-        [format(simhash((t or "").split()), "016x") for t in text]
+    """64-bit SimHash as BIGINT (two's-complement view of the uint64), so
+    block extraction (shiftrightunsigned) and hamming verification
+    (bit_count(xor)) stay JVM-side — no hex-string round-trip."""
+    import numpy as np
+
+    vals = np.array(
+        [simhash((t or "").split()) for t in text], dtype=np.uint64
     )
+    return pd.Series(vals.view("int64"))
 
 
 def make_lsh_sig_udf(dim: int, n_planes: int = 8, seed: int = 42):
@@ -259,6 +264,29 @@ def make_lsh_sig_udf(dim: int, n_planes: int = 8, seed: int = 42):
         return pd.Series(["".join("1" if b else "0" for b in row) for row in bits])
 
     return lsh_sig_udf
+
+
+def make_multi_lsh_buckets_udf(dim: int, n_planes: int, n_tables: int,
+                               seed: int = 42):
+    """OR-amplified SRP-LSH: ``n_tables`` independent hyperplane sets, one
+    integer bucket id per table (bits packed small-endian). Emitting all
+    tables from one Arrow batch keeps the Python crossing to a single UDF;
+    the posexplode into (table, bucket) rows is JVM-side."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    planes = rs.randn(n_tables, n_planes, dim)  # [T, P, dim]
+    weights = (1 << np.arange(n_planes)).astype(np.int64)  # [P]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def multi_lsh_buckets_udf(emb: pd.Series) -> pd.Series:
+        mat = np.stack(emb.to_numpy())  # [n, dim]
+        # [n, T, P] signs → packed ints [n, T]
+        bits = np.einsum("nd,tpd->ntp", mat, planes) > 0
+        buckets = (bits.astype(np.int64) * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return multi_lsh_buckets_udf
 
 
 @F.pandas_udf(ArrayType(LongType()))

@@ -707,13 +707,23 @@ def embedding_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+_CORPUS_SIZES: dict[str, int] = {}
+
+
 def _corpus(spark, sf_dir, cap: int = 2000):
     """Deterministic interleaved corpus sized from the sf tier (same doc
-    count as the testdata documents table, capped for the heavy UDF ops)."""
+    count as the testdata documents table, capped for the heavy UDF ops).
+    The tier size comes from parquet footer metadata (no Spark job), read
+    once per sf_dir."""
     from docling_metrics_spark.datagen import generate_documents_df
 
-    n = min(_t(spark, sf_dir, "documents").count(), cap)
-    return generate_documents_df(spark, n)
+    if sf_dir not in _CORPUS_SIZES:
+        import pyarrow.parquet as pq
+
+        _CORPUS_SIZES[sf_dir] = pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+    return generate_documents_df(spark, min(_CORPUS_SIZES[sf_dir], cap))
 
 
 @query("extract_spans_pipeline")
@@ -878,54 +888,179 @@ def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     ).cast("double") / F.lit(float(num_perm))
-    return (
+    result = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select("id_a", "id_b", F.round(est, 6).alias("jaccard_est"))
         .filter(F.col("jaccard_est") >= threshold)
-        .orderBy("id_a", "id_b")
     )
+    # Materialize the (tiny) near-dup pair set eagerly so the persisted
+    # signature table can be RELEASED before returning — repeated
+    # invocations in one session previously accumulated cached partitions
+    # (ADVICE r1). At cluster scale this write is the job's output table.
+    import hashlib as _hashlib
+
+    out = f"/tmp/dms_minhash_pairs_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    result.write.mode("overwrite").parquet(out)
+    sigs.unpersist()
+    return spark.read.parquet(out).orderBy("id_a", "id_b")
 
 
 @query("simhash_near_dup")
-def simhash_near_dup(spark, sf_dir):
-    """SimHash fingerprints; near-dup candidates = equal 16-bit prefix
-    blocks (Charikar block-permutation scheme, 1 block here)."""
+def simhash_near_dup(spark, sf_dir, n_blocks: int = 4, max_hamming: int = 3):
+    """SimHash near-dup pairs, complete for hamming ≤ n_blocks-1:
+
+    1. one Arrow UDF computes the 64-bit fingerprint (BIGINT),
+    2. the fingerprint splits into ``n_blocks`` 16-bit blocks JVM-side
+       (shiftrightunsigned + mask) — by pigeonhole, any pair within
+       ``max_hamming ≤ n_blocks-1`` bit flips shares at least one block
+       (the Manku/Charikar multi-block scheme),
+    3. candidates = self-equi-join on (block index, block value) — the only
+       shuffle; never all-pairs,
+    4. verify = ``bit_count(fp_a XOR fp_b) ≤ max_hamming``, pure codegen.
+
+    The fingerprint rides along the exploded block rows (one BIGINT), so no
+    second join is needed to verify."""
     from docling_metrics_spark.operators.udfs import simhash_udf
+
+    assert max_hamming < n_blocks, "completeness needs max_hamming < n_blocks"
+    block_bits = 64 // n_blocks
+    mask = (1 << block_bits) - 1
 
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
+    fp = d.select("doc_id", simhash_udf("text").alias("fp"))
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("bi"),
+                F.shiftrightunsigned("fp", i * block_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "fp", F.explode(blocks).alias("bk")
+    ).select("doc_id", "fp", F.col("bk.bi").alias("bi"), F.col("bk.bv").alias("bv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
     return (
-        d.withColumn("simhash", simhash_udf("text"))
-        .withColumn("block", F.substring("simhash", 1, 4))
-        .groupBy("block")
-        .agg(F.count("*").alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-        .orderBy("block")
+        a.join(
+            b,
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dot(x, y):
+    """JVM-side dot product over two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(x, y):
+    return F.round(
+        _dot(x, y)
+        / F.greatest(
+            F.sqrt(_dot(x, x)) * F.sqrt(_dot(y, y)), F.lit(1e-12)
+        ),
+        4,
+    )
+
+
+def _lsh_candidate_pairs(spark, sf_dir, id_cap: int = 300, n_tables: int = 24,
+                         n_planes: int = 4, seed: int = 42):
+    """OR-amplified SRP-LSH candidate pairs with exact cosine attached.
+
+    ``n_tables`` independent 4-plane tables (collision prob per table
+    (1-θ/π)^4, OR over tables) — one UDF emits all bucket ids, the explode,
+    bucket-local self-join, and cosine verify are JVM-side. The join key is
+    (table, bucket): candidate cost is Σ bucket² per table, never all-pairs."""
+    from docling_metrics_spark.operators.udfs import make_multi_lsh_buckets_udf
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < id_cap).select(
+        "vec_id", "embedding"
+    )
+    udf = make_multi_lsh_buckets_udf(
+        dim=64, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+    sigs = e.select(
+        "vec_id", F.posexplode(udf("embedding")).alias("t", "bucket")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", _cosine(F.col("ea"), F.col("eb")).alias("cosine"))
     )
 
 
 @query("embedding_lsh_ann")
 def embedding_lsh_ann(spark, sf_dir):
-    """Scale path for similarity search: random-hyperplane LSH bucketing
-    (signed projections → bit signature) then within-bucket brute force.
-    Buckets bound the candidate set so the join is bucket-local, not
-    all-pairs."""
-    from docling_metrics_spark.operators.udfs import make_lsh_sig_udf
-
-    e = _t(spark, sf_dir, "embeddings")
-    lsh_sig = make_lsh_sig_udf(dim=64, n_planes=8, seed=42)
-    sigged = e.select("vec_id", "label", lsh_sig("embedding").alias("bucket"))
+    """ANN near-dup via OR-amplified LSH: candidate pairs from bucket-local
+    joins, exact-cosine verify, same ≥0.35 emission contract as the exact
+    oracle ``embedding_cosine_near_dup`` (recall vs that oracle is pinned in
+    tests/test_plans.py)."""
     return (
-        sigged.groupBy("bucket")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.countDistinct("label").alias("n_labels"),
+        _lsh_candidate_pairs(spark, sf_dir)
+        .filter(F.col("cosine") >= 0.35)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("embedding_lsh_topk")
+def embedding_lsh_topk(spark, sf_dir, k: int = 5):
+    """ANN top-k per vector over the LSH candidate set: candidates →
+    cosine → per-query window top-k. The brute-force twin is
+    ``embedding_topk``; here the candidate set is bucket-bounded so the
+    search scales with Σ bucket² instead of n²."""
+    from pyspark.sql.window import Window
+
+    scored = _lsh_candidate_pairs(spark, sf_dir)
+    directed = scored.unionByName(
+        scored.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine",
         )
-        .orderBy("bucket")
+    ).select(F.col("id_a").alias("qid"), F.col("id_b").alias("vec_id"), "cosine")
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        directed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
     )
 
 
@@ -1642,11 +1777,23 @@ def _bucketed_tables(spark, sf_dir) -> str:
     'co-locate joins via bucketing' design point made concrete."""
     import os as _os
 
-    db = f"dms_buck_{abs(hash(sf_dir)) % 10**8}"
-    warehouse = f"/tmp/dms_bucketed_{abs(hash(sf_dir)) % 10**8}"
+    # stable digest (NOT Python hash(): per-process PYTHONHASHSEED salting
+    # would mint a fresh warehouse every run and leak /tmp/dms_bucketed_*)
+    import hashlib as _hashlib
+
+    suffix = _hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"dms_buck_{suffix}"
+    warehouse = f"/tmp/dms_bucketed_{suffix}"
     if not spark.catalog.databaseExists(db):
         spark.sql(f"CREATE DATABASE {db} LOCATION '{warehouse}'")
     if not spark.catalog.tableExists(f"{db}.orders_b"):
+        # The in-memory catalog of a fresh session doesn't know tables a
+        # previous session wrote to this (stable) location — clear the
+        # stale directories so saveAsTable can recreate them.
+        import shutil as _shutil
+
+        for t in ("orders_b", "lineitem_b"):
+            _shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
         (
             _t(spark, sf_dir, "orders")
             .write.bucketBy(8, "o_orderkey")

@@ -397,3 +397,36 @@ def test_simhash_near_duplicates_close():
     d_near = hamming64(simhash(t1), simhash(t2))
     d_far = hamming64(simhash(t1), simhash(t3))
     assert d_near < d_far
+
+
+def test_html_to_cells_handles_thead_tbody():
+    """Rows wrapped in thead/tbody (the shape the reference's cells_to_html
+    emits) must not be dropped (ADVICE r1; reference grits.py:487-534
+    stack-walks the whole tree)."""
+    from docling_metrics_spark.kernels.grits import html_to_cells
+
+    flat = "<table><tr><td>a</td><td>b</td></tr><tr><td>c</td><td>d</td></tr></table>"
+    wrapped = (
+        "<table><thead><tr><th>a</th><th>b</th></tr></thead>"
+        "<tbody><tr><td>c</td><td>d</td></tr></tbody></table>"
+    )
+    cf, cw = html_to_cells(flat), html_to_cells(wrapped)
+    assert len(cw) == 4
+    assert [c["cell_text"] for c in cw] == [c["cell_text"] for c in cf]
+    assert [c["row_nums"] for c in cw] == [c["row_nums"] for c in cf]
+
+
+def test_teds_fast_path_size_with_braces_in_cell_text():
+    """Identical-bracket fast path must report tree sizes, not '{' counts —
+    braces inside JSON-embedded cell text inflated the count (ADVICE r1)."""
+    import docling_metrics_spark.kernels.teds as T
+
+    h = "<table><tr><td>{x} and {y}</td></tr></table>"
+    b = T.html_to_bracket(h)
+    teds, na, nb = T.teds_from_brackets(b, b)
+    assert teds == 1.0
+    assert na == nb == T.bracket_to_tree(b).size()
+    # and the sizes agree with the non-identical path for the same tree
+    h2 = "<table><tr><td>other</td></tr></table>"
+    _, na2, _ = T.teds_from_brackets(b, T.html_to_bracket(h2))
+    assert na == na2

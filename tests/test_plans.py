@@ -99,3 +99,58 @@ def test_bucketed_join_avoids_shuffle(spark):
     # both join inputs come straight from bucket-local scans — no Exchange
     # anywhere in this plan (there is no post-join agg here)
     assert "Exchange" not in jplan, jplan
+
+
+def test_lsh_ann_recall_vs_exact_oracle(spark):
+    """OR-amplified SRP-LSH must recover ≥0.9 of the exact cosine near-dup
+    pairs on the same id range (VERDICT r1 item 3: the ANN path is only done
+    when its recall is measured against embedding_cosine_near_dup)."""
+    from docling_metrics_spark.plans.queries import (
+        embedding_cosine_near_dup,
+        embedding_lsh_ann,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    lsh = {
+        (r.id_a, r.id_b) for r in embedding_lsh_ann(spark, sf).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_cosine_near_dup(spark, sf).collect()
+    }
+    assert exact, "oracle emitted no pairs — fixture drifted"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} < 0.9"
+    # every LSH pair is exact-verified in-query, so precision is 1 by design
+    assert lsh <= exact
+
+
+def test_simhash_completeness_vs_bruteforce(spark):
+    """Multi-block SimHash candidates are COMPLETE for hamming ≤ n_blocks-1:
+    every pair within distance 3 found by brute force must be emitted
+    (pigeonhole over 4 16-bit blocks)."""
+    import pandas as pd
+
+    from docling_metrics_spark.kernels.minhash import hamming64, simhash
+    from docling_metrics_spark.plans.queries import simhash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(spark, sf).collect()
+    }
+
+    pdf = pd.read_parquet(f"{sf}/documents.parquet")[["doc_id", "text"]]
+    fps = {
+        int(r.doc_id): simhash((r.text or "").split())
+        for r in pdf.itertuples()
+    }
+    ids = sorted(fps)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = hamming64(fps[a], fps[b])
+            if h <= 3:
+                expected[(a, b)] = h
+    assert expected, "no close pairs in fixture — corpus drifted"
+    assert got == expected
