@@ -93,40 +93,155 @@ def average_precision(
     return float(prec_at.mean())
 
 
+# COCO area ranges (pycocotools params): boxes outside the range are
+# IGNORED for that bucket (neither GT nor false positive).
+AREA_RANGES: dict[str, tuple[float, float]] = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, 1e10),
+}
+
+
+def _match_with_ignore(
+    ious: np.ndarray, gt_ig: np.ndarray, thr: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Greedy COCO matching with ignore semantics (the published
+    pycocotools evaluateImg algorithm): dts in descending-score order claim
+    the highest-IoU unmatched GT ≥ thr; GT rows are pre-sorted non-ignored
+    first, and a dt may fall through to an ignored GT only when no valid GT
+    remains. Returns (dtm gt-row-index or -1 per dt, dt_ignored flags)."""
+    n_gt, n_dt = ious.shape
+    gtm = np.full(n_gt, -1, dtype=np.int64)
+    dtm = np.full(n_dt, -1, dtype=np.int64)
+    dt_ig = np.zeros(n_dt, dtype=bool)
+    for d in range(n_dt):
+        best = min(thr, 1.0 - 1e-10)
+        m = -1
+        for g in range(n_gt):
+            if gtm[g] >= 0:
+                continue
+            if m > -1 and not gt_ig[m] and gt_ig[g]:
+                break  # remaining gts are all ignored (sorted)
+            if ious[g, d] < best:
+                continue
+            best = ious[g, d]
+            m = g
+        if m == -1:
+            continue
+        dtm[d] = m
+        gtm[m] = d
+        dt_ig[d] = gt_ig[m]
+    return dtm, dt_ig
+
+
+def _ap_ar_from_match(
+    dtm: np.ndarray, dt_ig: np.ndarray, npig: int
+) -> tuple[float, float]:
+    """101-point AP and max recall from score-ordered match results,
+    ignored detections excluded (COCO accumulate)."""
+    if npig == 0:
+        return float("nan"), float("nan")
+    keep = ~dt_ig
+    tp = (dtm >= 0)[keep]
+    if tp.size == 0:
+        return 0.0, 0.0
+    return average_precision(tp, npig), float(tp.sum() / npig)
+
+
 def evaluate_map(
     gt: list[tuple[int, list[float]]],
     pred: list[tuple[int, list[float], float]],
     max_det: int = 100,
-) -> dict[str, float]:
-    """COCO-protocol mAP for one document/page (or one merged group).
+) -> dict:
+    """COCO-protocol mAP for one document/page (or one merged group), with
+    the reference's FULL result surface (map_layout_evaluator.py:146-199 /
+    torchmetrics MeanAveragePrecision): map/map_50/map_75, size-bucketed
+    map_small/medium/large, mar_1/mar_10/mar_100, mar_small/medium/large,
+    and per-class map/mar_100 dicts keyed "cat_<id>". -1.0 marks an
+    undefined bucket (no in-range GT), matching the torchmetrics sentinel.
 
     gt: [(category_id, xyxy)], pred: [(category_id, xyxy, score)].
-    Returns map, map_50, map_75, mar_100 (mean over classes present in GT).
     """
-    classes = sorted({c for c, _ in gt})
+    classes = sorted({c for c, _ in gt} | {c for c, _, _ in pred})
+    sent = -1.0
     if not classes:
-        nan = float("nan")
-        return {"map": nan, "map_50": nan, "map_75": nan, "mar_100": nan}
-    ap = np.zeros((len(classes), len(IOU_THRESHOLDS)))
-    ar = np.zeros((len(classes), len(IOU_THRESHOLDS)))
-    for ci, cls in enumerate(classes):
+        return {
+            "map": sent, "map_50": sent, "map_75": sent,
+            "map_small": sent, "map_medium": sent, "map_large": sent,
+            "mar_1": sent, "mar_10": sent, "mar_100": sent,
+            "mar_small": sent, "mar_medium": sent, "mar_large": sent,
+            "map_per_class": {}, "mar_100_per_class": {},
+        }
+
+    n_thr = len(IOU_THRESHOLDS)
+    ap: dict[tuple, float] = {}   # (cls, thr_idx, area) -> AP at max_det
+    ar: dict[tuple, float] = {}   # (cls, thr_idx, area, maxdet) -> AR
+
+    for cls in classes:
         g = np.array([b for c, b in gt if c == cls], dtype=np.float64).reshape(-1, 4)
         p = [(b, s) for c, b, s in pred if c == cls]
         p.sort(key=lambda x: -x[1])
         p = p[:max_det]
         pb = np.array([b for b, _ in p], dtype=np.float64).reshape(-1, 4)
-        ps = np.array([s for _, s in p], dtype=np.float64)
-        ious = iou_matrix(g, pb)
-        for ti, thr in enumerate(IOU_THRESHOLDS):
-            # ps is already descending (sorted above), so tp is tp_sorted
-            tp = _match_predictions(ious, ps, thr)
-            ap[ci, ti] = average_precision(tp, len(g))
-            ar[ci, ti] = tp.sum() / len(g) if len(g) else float("nan")
+        g_area = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+        p_area = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
+        ious_full = iou_matrix(g, pb)
+
+        for area, (lo, hi) in AREA_RANGES.items():
+            gt_ig = (g_area < lo) | (g_area > hi)
+            order = np.argsort(gt_ig, kind="stable")  # non-ignored first
+            ious_o = ious_full[order]
+            git = gt_ig[order]
+            npig = int((~git).sum())
+            dt_out = (p_area < lo) | (p_area > hi)
+            maxdets = (1, 10, max_det) if area == "all" else (max_det,)
+            for ti in range(n_thr):
+                dtm, dt_ig = _match_with_ignore(ious_o, git, IOU_THRESHOLDS[ti])
+                # unmatched out-of-range dts are ignored, not false positives
+                dt_ig = dt_ig | ((dtm == -1) & dt_out)
+                for md in maxdets:
+                    a, r = _ap_ar_from_match(dtm[:md], dt_ig[:md], npig)
+                    if md == max_det:
+                        ap[(cls, ti, area)] = a
+                    ar[(cls, ti, area, md)] = r
+
+    def _mean(vals: list[float]) -> float:
+        arr = np.array(vals, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        return float(arr.mean()) if arr.size else sent
+
+    def _map_area(area: str) -> float:
+        return _mean([ap[(c, t, area)] for c in classes for t in range(n_thr)])
+
+    def _mar(area: str, md: int) -> float:
+        return _mean(
+            [ar[(c, t, area, md)] for c in classes for t in range(n_thr)]
+        )
+
+    per_cls_map = {
+        f"cat_{c}": _mean([ap[(c, t, "all")] for t in range(n_thr)])
+        for c in classes
+    }
+    per_cls_mar = {
+        f"cat_{c}": _mean([ar[(c, t, "all", max_det)] for t in range(n_thr)])
+        for c in classes
+    }
     return {
-        "map": float(np.nanmean(ap)),
-        "map_50": float(np.nanmean(ap[:, 0])),
-        "map_75": float(np.nanmean(ap[:, 5])),
-        "mar_100": float(np.nanmean(ar)),
+        "map": _map_area("all"),
+        "map_50": _mean([ap[(c, 0, "all")] for c in classes]),
+        "map_75": _mean([ap[(c, 5, "all")] for c in classes]),
+        "map_small": _map_area("small"),
+        "map_medium": _map_area("medium"),
+        "map_large": _map_area("large"),
+        "mar_1": _mar("all", 1),
+        "mar_10": _mar("all", 10),
+        "mar_100": _mar("all", max_det),
+        "mar_small": _mar("small", max_det),
+        "mar_medium": _mar("medium", max_det),
+        "mar_large": _mar("large", max_det),
+        "map_per_class": per_cls_map,
+        "mar_100_per_class": per_cls_mar,
     }
 
 

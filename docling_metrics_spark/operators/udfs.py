@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -73,12 +74,24 @@ TEDS_DOC_TYPE = StructType(
     ]
 )
 
+# Full reference result surface (map_layout_evaluator.py:146-199 /
+# torchmetrics MeanAveragePrecision): -1.0 = undefined bucket sentinel.
 MAP_TYPE = StructType(
     [
         StructField("map", DoubleType()),
         StructField("map_50", DoubleType()),
         StructField("map_75", DoubleType()),
+        StructField("map_small", DoubleType()),
+        StructField("map_medium", DoubleType()),
+        StructField("map_large", DoubleType()),
+        StructField("mar_1", DoubleType()),
+        StructField("mar_10", DoubleType()),
         StructField("mar_100", DoubleType()),
+        StructField("mar_small", DoubleType()),
+        StructField("mar_medium", DoubleType()),
+        StructField("mar_large", DoubleType()),
+        StructField("map_per_class", MapType(StringType(), DoubleType())),
+        StructField("mar_100_per_class", MapType(StringType(), DoubleType())),
     ]
 )
 

@@ -430,3 +430,53 @@ def test_teds_fast_path_size_with_braces_in_cell_text():
     h2 = "<table><tr><td>other</td></tr></table>"
     _, na2, _ = T.teds_from_brackets(b, T.html_to_bracket(h2))
     assert na == na2
+
+
+def test_map_full_surface_size_buckets():
+    """Hand-computed size-bucketed surface: one small-area class-0 GT
+    (10×10=100 < 32²) and one medium class-1 GT (60×60=3600), perfectly
+    predicted. Absent buckets report the torchmetrics -1.0 sentinel."""
+    gt = [(0, [0, 0, 10, 10]), (1, [0, 0, 60, 60])]
+    pred = [(c, b, 0.9) for c, b in gt]
+    r = evaluate_map(gt, pred)
+    assert r["map"] == 1.0
+    assert r["map_small"] == 1.0      # only class 0 has in-range GT
+    assert r["map_medium"] == 1.0     # only class 1
+    assert r["map_large"] == -1.0     # no large GT at all
+    assert r["mar_1"] == 1.0          # one det per class → maxdet 1 suffices
+    assert r["mar_10"] == 1.0 and r["mar_100"] == 1.0
+    assert r["mar_small"] == 1.0 and r["mar_large"] == -1.0
+    assert r["map_per_class"] == {"cat_0": 1.0, "cat_1": 1.0}
+    assert r["mar_100_per_class"] == {"cat_0": 1.0, "cat_1": 1.0}
+
+
+def test_map_area_ignore_semantics():
+    """COCO ignore rule: in the small bucket, a higher-scored detection
+    matched to an out-of-range (large) GT must be IGNORED, not counted as a
+    false positive ahead of the small TP."""
+    gt = [(0, [0, 0, 10, 10]), (0, [0, 0, 200, 200])]
+    pred = [(0, [0, 0, 200, 200], 0.9), (0, [0, 0, 10, 10], 0.8)]
+    r = evaluate_map(gt, pred)
+    assert r["map"] == 1.0
+    assert r["map_small"] == 1.0   # would be ~0.5 if the large det were FP
+    assert r["map_large"] == 1.0
+
+
+def test_map_mar_maxdet_truncation():
+    """mar_1 truncates to the single best-scored detection per class."""
+    gt = [(0, [0, 0, 10, 10]), (0, [20, 20, 30, 30])]
+    pred = [(0, [0, 0, 10, 10], 0.9), (0, [20, 20, 30, 30], 0.8)]
+    r = evaluate_map(gt, pred)
+    assert r["mar_1"] == 0.5
+    assert r["mar_10"] == 1.0
+    assert r["map"] == 1.0
+
+
+def test_map_pred_only_class_sentinel():
+    """A class present only in predictions has no GT: excluded from map,
+    reported as -1.0 in the per-class dict (torchmetrics behavior)."""
+    gt = [(0, [0, 0, 10, 10])]
+    pred = [(0, [0, 0, 10, 10], 0.9), (7, [0, 0, 10, 10], 0.9)]
+    r = evaluate_map(gt, pred)
+    assert r["map"] == 1.0
+    assert r["map_per_class"]["cat_7"] == -1.0

@@ -137,8 +137,24 @@ def test_checkpoint_resume(spark, docs, tmp_path):
         run_checkpointed(spark, docs, out_resume, n_buckets=4, fail_after_buckets=2)
     assert len(read_checkpoint(spark, out_resume).collect()) == 2
 
+    # committed buckets' output must be untouched by the resumed run — the
+    # resume filter excludes them from the single input pass, and dynamic
+    # partition overwrite only replaces the buckets present in the data
+    import os as _os
+
+    committed = sorted(
+        r.bucket for r in read_checkpoint(spark, out_resume).collect()
+    )
+    def _mtimes(bucket):
+        d = f"{out_resume}/metrics/bucket={bucket}"
+        return {f: _os.path.getmtime(_os.path.join(d, f))
+                for f in _os.listdir(d) if f.endswith(".parquet")}
+    before = {b: _mtimes(b) for b in committed}
+
     n2 = run_checkpointed(spark, docs, out_resume, n_buckets=4)
     assert n2 == 2  # only the 2 uncommitted buckets recomputed
+    for b in committed:
+        assert _mtimes(b) == before[b], f"bucket {b} was rewritten on resume"
 
     full = {r.doc_id: r for r in read_metrics(spark, out_full).collect()}
     resumed = {r.doc_id: r for r in read_metrics(spark, out_resume).collect()}
