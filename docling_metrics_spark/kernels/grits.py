@@ -209,8 +209,56 @@ def html_to_cells(html: str) -> list[dict]:
                 "cell_text": "".join(cell.content) if cell.content else "",
                 "row_nums": row_nums,
                 "column_nums": col_nums,
+                "is_column_header": cell.header,
                 "bbox": [c * 100.0, r * 30.0,
                          (c + cell.colspan) * 100.0, (r + cell.rowspan) * 30.0],
             })
             c += cell.colspan
     return cells
+
+
+def cells_to_html(cells: list[dict]) -> str:
+    """GriTS cell list → canonical HTML table (reference grits.py:425-485).
+
+    Canonical form: cells sorted by (start row, start col), one ``<tr>`` per
+    grid row inside ``<tbody>``, colspan/rowspan attributes only when > 1,
+    ``th`` for header cells (``header`` or ``is_column_header`` key).
+    Fixed point with :func:`html_to_cells`: reparsing the output yields the
+    same topology, header flags, and text."""
+    import html as _html
+
+    if not cells:
+        return "<table></table>"
+    norm = [
+        {
+            "row_nums": sorted(c["row_nums"]),
+            "column_nums": sorted(c["column_nums"]),
+            "is_column_header": bool(
+                c.get("header", c.get("is_column_header", False))
+            ),
+            "cell_text": c.get("cell_text", "") or "",
+        }
+        for c in cells
+    ]
+    norm.sort(key=lambda c: (c["row_nums"][0], c["column_nums"][0]))
+    by_row: dict[int, list[dict]] = {}
+    for c in norm:
+        by_row.setdefault(c["row_nums"][0], []).append(c)
+
+    n_rows = max(c["row_nums"][-1] for c in norm) + 1
+    out = ["<table><tbody>"]
+    for r in range(n_rows):
+        out.append("<tr>")
+        for c in sorted(by_row.get(r, []), key=lambda c: c["column_nums"][0]):
+            tag = "th" if c["is_column_header"] else "td"
+            attrs = ""
+            if len(c["column_nums"]) > 1:
+                attrs += f' colspan="{len(c["column_nums"])}"'
+            if len(c["row_nums"]) > 1:
+                attrs += f' rowspan="{len(c["row_nums"])}"'
+            out.append(
+                f"<{tag}{attrs}>{_html.escape(c['cell_text'])}</{tag}>"
+            )
+        out.append("</tr>")
+    out.append("</tbody></table>")
+    return "".join(out)

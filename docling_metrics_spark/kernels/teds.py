@@ -47,6 +47,10 @@ class TableNode:
     rowspan: int | None = None
     content: list[str] | None = None
     children: list["TableNode"] = field(default_factory=list)
+    # header provenance (th tag or thead ancestor) — carried for the GriTS
+    # cells schema; ignored by TEDS costs and bracket serialization, where
+    # th is normalized to td (reference teds.py:219-221)
+    header: bool = False
 
     def is_cell(self) -> bool:
         return self.tag in ("td", "th")
@@ -170,6 +174,8 @@ class _TableHTMLParser(HTMLParser):
                 colspan=_int_attr(attr.get("colspan"), 1),
                 rowspan=_int_attr(attr.get("rowspan"), 1),
                 content=[],
+                header=tag == "th"
+                or any(n.tag == "thead" for n in self._stack),
             )
             self._attach(node)
             self._stack.append(node)

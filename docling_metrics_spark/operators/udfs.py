@@ -515,3 +515,50 @@ def markush_pair_udf(gt_cx: pd.Series, pred_cx: pd.Series) -> pd.DataFrame:
             "num_fragments_pred", "num_fragments_equal", "cxsmi_equality",
         )})
     return pd.DataFrame(rows)
+
+
+@F.pandas_udf(TEDS_DOC_TYPE)
+def teds_cells_doc_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataFrame:
+    """TEDS through the CELLS input mode (reference
+    docling_metrics_table.py:190-199): each table's HTML is parsed to the
+    GriTS cell schema, re-serialized through cells_to_html canonicalization,
+    and only then TEDS-scored — exercising the third of the reference's
+    three table input modes (bracket / HTML / cells)."""
+    from docling_metrics_spark.kernels.grits import cells_to_html, html_to_cells
+
+    rows = []
+    for g, p in zip(gt_tables, pred_tables):
+        gt_list = list(g) if g is not None else []
+        pred_list = list(p) if p is not None else []
+        n = max(len(gt_list), len(pred_list))
+        if n == 0:
+            rows.append(
+                {"teds_mean": None, "n_tables_gt": 0, "n_tables_pred": 0,
+                 "n_pairs": 0, "error_count": 0}
+            )
+            continue
+        scores, errors = [], 0
+        for i in range(n):
+            if i >= len(gt_list) or i >= len(pred_list):
+                scores.append(0.0)
+                continue
+            try:
+                ca = cells_to_html(html_to_cells(gt_list[i]))
+                cb = cells_to_html(html_to_cells(pred_list[i]))
+                teds, _, _ = teds_from_brackets(
+                    html_to_bracket(ca), html_to_bracket(cb)
+                )
+                scores.append(teds)
+            except ValueError:
+                errors += 1
+                scores.append(0.0)
+        rows.append(
+            {
+                "teds_mean": sum(scores) / len(scores),
+                "n_tables_gt": len(gt_list),
+                "n_tables_pred": len(pred_list),
+                "n_pairs": min(len(gt_list), len(pred_list)),
+                "error_count": errors,
+            }
+        )
+    return pd.DataFrame(rows)

@@ -480,3 +480,45 @@ def test_map_pred_only_class_sentinel():
     r = evaluate_map(gt, pred)
     assert r["map"] == 1.0
     assert r["map_per_class"]["cat_7"] == -1.0
+
+
+def test_cells_to_html_roundtrip_fixed_point():
+    """cells→html→cells is a fixed point on topology, header flags, and
+    text (reference cells_to_html contract, grits.py:425-485)."""
+    from docling_metrics_spark.kernels.grits import cells_to_html, html_to_cells
+
+    cells = [
+        {"row_nums": [0], "column_nums": [0, 1], "is_column_header": True,
+         "cell_text": "wide header", "bbox": [0, 0, 1, 1]},
+        {"row_nums": [1, 2], "column_nums": [0], "is_column_header": False,
+         "cell_text": "tall <cell> & co", "bbox": [0, 0, 1, 1]},
+        {"row_nums": [1], "column_nums": [1], "is_column_header": False,
+         "cell_text": "x", "bbox": [0, 0, 1, 1]},
+        {"row_nums": [2], "column_nums": [1], "is_column_header": False,
+         "cell_text": "y", "bbox": [0, 0, 1, 1]},
+    ]
+    html = cells_to_html(cells)
+    assert html.startswith("<table><tbody>") and "<th" in html
+    reparsed = html_to_cells(html)
+
+    def key(cs):
+        return sorted(
+            (tuple(c["row_nums"]), tuple(c["column_nums"]),
+             c["is_column_header"], c["cell_text"])
+            for c in cs
+        )
+
+    assert key(reparsed) == key(cells)
+    # second pass is byte-identical (true fixed point)
+    assert cells_to_html(reparsed) == html
+
+
+def test_cells_to_html_empty_and_header_alias():
+    from docling_metrics_spark.kernels.grits import cells_to_html
+
+    assert cells_to_html([]) == "<table></table>"
+    # the evaluation schema's "header" key is honored too
+    h = cells_to_html(
+        [{"row_nums": [0], "column_nums": [0], "header": True, "cell_text": "h"}]
+    )
+    assert "<th>h</th>" in h
