@@ -308,11 +308,19 @@ def confusion_matrix_binary(
     p_flat = np.ascontiguousarray(pred_img, dtype=np.uint64).ravel()
     # compress to unique (g, p) pairs with counts
     if 2 * num_categories <= 64:
-        # pack both masks into one uint64 — 1-D np.unique is ~10× faster
-        # than the row-sorting axis=0 variant on megapixel pages
+        # pack both masks into one uint64 — 1-D compression is ~10× faster
+        # than the row-sorting axis=0 np.unique on megapixel pages
         shift = np.uint64(num_categories)
         packed = (g_flat << shift) | p_flat
-        keys, counts = np.unique(packed, return_counts=True)
+        if 2 * num_categories <= 20:
+            # small key space: O(n) bincount beats np.unique's sort ~5×
+            dense = np.bincount(
+                packed.astype(np.int64), minlength=1 << (2 * num_categories)
+            )
+            keys = np.nonzero(dense)[0].astype(np.uint64)
+            counts = dense[keys.astype(np.int64)]
+        else:
+            keys, counts = np.unique(packed, return_counts=True)
         p = keys & ((np.uint64(1) << shift) - np.uint64(1))
         g = keys >> shift
     else:
