@@ -1125,6 +1125,63 @@ def embedding_lsh_ann(spark, sf_dir):
     )
 
 
+@query("embedding_ivf_topk")
+def embedding_ivf_topk(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
+                       k: int = 5):
+    """IVF-style ANN: coarse k-means quantizer (pyspark.ml KMeans — trains
+    distributed, assignment is a model transform), queries probe their
+    ``nprobe`` nearest cells, exact cosine inside probed cells, window
+    top-k. The inverted-file twin of the LSH path: candidate cost is the
+    probed cells' sizes, never n². Recall vs the brute-force
+    ``embedding_topk`` is pinned in tests/test_plans.py."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    ve = e.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(
+        k=n_cells, seed=42, featuresCol="features", predictionCol="cell"
+    ).fit(ve)
+    assigned = model.transform(ve).select("vec_id", "embedding", "cell")
+
+    # centroids are tiny (n_cells × dim): broadcast as a literal table
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    queries = assigned.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wq = Window.partitionBy("qid").orderBy("d2", "cell")
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select("qid", "qe", "cell", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", "qe", "cell")
+    )
+    cand = probes.join(assigned, "cell").filter(F.col("vec_id") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.select(
+            "qid", "vec_id",
+            _cosine(F.col("qe"), F.col("embedding")).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 @query("embedding_lsh_topk")
 def embedding_lsh_topk(spark, sf_dir, k: int = 5):
     """ANN top-k per vector over the LSH candidate set: candidates →
@@ -1972,6 +2029,37 @@ def streaming_extract(spark, sf_dir):
     return run_available_now(
         extract_documents_stream(spark, src), output_mode="append"
     ).orderBy("doc_id")
+
+
+@query("streaming_dedup")
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicates state over a file stream):
+    first-seen-wins on the content fingerprint. Source has 100 injected
+    duplicate documents (re-ids of docs 0-99), so n_unique < n_rows; batch
+    twin asserted equal in tests/test_streaming.py."""
+    import os as _os
+
+    from docling_metrics_spark.datagen import generate_documents_df
+    from docling_metrics_spark.streaming.windowed import (
+        dedup_documents_stream,
+        run_available_now,
+    )
+
+    src = "/tmp/dms_stream_dedup_src"
+    if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
+        docs = generate_documents_df(spark, 400, partitions=8)
+        dups = (
+            generate_documents_df(spark, 100, partitions=2)
+            .withColumn("doc_id", F.concat(F.col("doc_id"), F.lit("_dup")))
+        )
+        docs.unionByName(dups).write.mode("overwrite").parquet(src)
+    uniq = run_available_now(
+        dedup_documents_stream(spark, src), output_mode="append"
+    )
+    return uniq.agg(
+        F.count("*").alias("n_unique"),
+        F.count_distinct(F.col("fp")).alias("n_distinct_fp"),
+    )
 
 
 @query("checkpointed_metrics")

@@ -151,3 +151,24 @@ def extract_documents_stream(spark: SparkSession, source_dir: str) -> DataFrame:
         .parquet(source_dir)
     )
     return run_pipeline(stream)
+
+
+def dedup_documents_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins on the content fingerprint.
+
+    ``dropDuplicates`` over a stream keeps one state row per distinct
+    fingerprint — the incremental twin of the batch ``exact_dedup`` query
+    (count distinct md5(text)). For 24/7 ingest the state store would be
+    bounded with ``dropDuplicatesWithinWatermark`` on an ingest-time
+    column; backfill via Trigger.AvailableNow (as here) drains the full
+    directory, so the result equals the batch distinct."""
+    from docling_metrics_spark.datagen import DOCUMENTS_SCHEMA_DDL
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA_DDL)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(source_dir)
+    )
+    return stream.select(
+        "doc_id", F.md5("raw_html").alias("fp")
+    ).dropDuplicates(["fp"])

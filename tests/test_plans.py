@@ -154,3 +154,23 @@ def test_simhash_completeness_vs_bruteforce(spark):
                 expected[(a, b)] = h
     assert expected, "no close pairs in fixture — corpus drifted"
     assert got == expected
+
+
+def test_ivf_ann_recall_vs_bruteforce_topk(spark):
+    """IVF (k-means coarse quantizer + nprobe probing) must recover most of
+    the brute-force top-5 neighbors for the query vectors."""
+    from docling_metrics_spark.plans.queries import (
+        embedding_ivf_topk,
+        embedding_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r.qid, r.vec_id) for r in embedding_topk(spark, sf).collect()
+    }
+    ivf = {
+        (r.qid, r.vec_id) for r in embedding_ivf_topk(spark, sf).collect()
+    }
+    assert exact, "brute-force oracle empty — fixture drifted"
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall@5 {recall:.3f} < 0.8"

@@ -154,3 +154,24 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     g = {tuple(r) for r in got.select(cols).collect()}
     b = {tuple(r) for r in batch.select(cols).collect()}
     assert g == b and len(g) == 60
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """Streaming dropDuplicates == batch countDistinct on the same source
+    (100 injected duplicate documents must be dropped)."""
+    from pyspark.sql import functions as F
+
+    from docling_metrics_spark.plans.queries import streaming_dedup
+
+    row = streaming_dedup(spark, "unused").collect()[0]
+    batch = (
+        spark.read.parquet("/tmp/dms_stream_dedup_src")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.md5("raw_html")).alias("n_unique"),
+        )
+        .collect()[0]
+    )
+    assert batch.n_rows == 500
+    assert row.n_unique == batch.n_unique == 400
+    assert row.n_distinct_fp == 400
