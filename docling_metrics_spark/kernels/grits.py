@@ -57,14 +57,17 @@ _LCS_CACHE_MAX = 1_000_000
 
 
 def lcs_similarity(s1: str, s2: str) -> float:
-    """2·|LCS|/(|s1|+|s2|) with an executor-local symmetric-keyed cache —
-    the reference's LCSCache (grits.py:11-56, default 10M entries); repeated
-    cell texts across a corpus hit constantly."""
+    """2·|LCS|/(|s1|+|s2|) via SequenceMatcher matching blocks — the
+    reference's exact formula (_lcs_similarity, grits.py:238-255) — with an
+    executor-local cache (the reference's LCSCache, grits.py:11-56, default
+    10M entries); repeated cell texts across a corpus hit constantly. The
+    key is ORDER-SENSITIVE like the reference's: Ratcliff-Obershelp
+    matching blocks are not guaranteed symmetric in (s1, s2)."""
     if not s1 and not s2:
         return 1.0
     if not s1 or not s2:
         return 0.0
-    key = (s1, s2) if s1 <= s2 else (s2, s1)
+    key = (s1, s2)
     v = _LCS_CACHE.get(key)
     if v is None:
         m = sum(

@@ -425,11 +425,13 @@ def match_stats(
     The reference's dataset evaluation pools every page into one COCO run
     (map_layout_evaluator.py:50-99). That pooling IS decomposable: greedy
     TP matching is per-image-independent; only the AP integration needs all
-    images' (score, tp) pairs per (class, iou_threshold). So each document
-    emits, per (class, threshold): its prediction scores, TP flags, and GT
-    count — the shuffle key is (class, threshold), tiny and uniform.
+    images' (score, tp) pairs per (class, iou_threshold, area bucket). So
+    each document emits, per (class, threshold, area): its non-ignored
+    prediction scores + TP flags (COCO ignore semantics applied locally),
+    TP counts at maxdet 1/10 (per-image truncation), and the in-range GT
+    count — the shuffle key is (class, threshold, area), tiny and uniform.
 
-    Returns [{cls, thr_idx, scores, tp, n_gt}]."""
+    Returns [{cls, thr_idx, area, scores, tp, n_gt, tp_md1, tp_md10}]."""
     classes = sorted(
         {c for c, _ in gt} | {c for c, _, _ in pred}
     )
@@ -441,18 +443,33 @@ def match_stats(
         p = p[:max_det]
         pb = np.array([b for b, _ in p], dtype=np.float64).reshape(-1, 4)
         ps = np.array([s for _, s in p], dtype=np.float64)
+        g_area = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+        p_area = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
         ious = iou_matrix(g, pb)
-        for ti, thr in enumerate(IOU_THRESHOLDS):
-            tp = _match_predictions(ious, ps, thr)
-            out.append(
-                {
-                    "cls": int(cls),
-                    "thr_idx": int(ti),
-                    "scores": ps.tolist(),
-                    "tp": tp.tolist(),
-                    "n_gt": int(len(g)),
-                }
-            )
+        for area, (lo, hi) in AREA_RANGES.items():
+            gt_ig = (g_area < lo) | (g_area > hi)
+            order = np.argsort(gt_ig, kind="stable")
+            ious_o = ious[order]
+            git = gt_ig[order]
+            npig = int((~git).sum())
+            dt_out = (p_area < lo) | (p_area > hi)
+            for ti, thr in enumerate(IOU_THRESHOLDS):
+                dtm, dt_ig = _match_with_ignore(ious_o, git, thr)
+                dt_ig = dt_ig | ((dtm == -1) & dt_out)
+                keep = ~dt_ig
+                tp = (dtm >= 0) & keep
+                out.append(
+                    {
+                        "cls": int(cls),
+                        "thr_idx": int(ti),
+                        "area": area,
+                        "scores": ps[keep].tolist(),
+                        "tp": tp[keep].tolist(),
+                        "n_gt": npig,
+                        "tp_md1": int(tp[:1].sum()),
+                        "tp_md10": int(tp[:10].sum()),
+                    }
+                )
     return out
 
 
@@ -471,26 +488,54 @@ def pooled_average_precision(
 
 def merged_map_local(docs: list[tuple[list, list]]) -> dict[str, float]:
     """Single-process oracle for dataset mAP: pool match partials from every
-    document, AP per (class, threshold), mean over them."""
+    document per (class, threshold, area), AP + pooled recalls per group,
+    mean over groups — the same full surface as the distributed path."""
     from collections import defaultdict
 
-    pool: dict[tuple[int, int], list] = defaultdict(lambda: [[], [], 0])
+    pool: dict[tuple, list] = defaultdict(lambda: [[], [], 0, 0, 0])
     for gt, pred in docs:
         for st in match_stats(gt, pred):
-            slot = pool[(st["cls"], st["thr_idx"])]
+            slot = pool[(st["cls"], st["thr_idx"], st["area"])]
             slot[0].extend(st["scores"])
             slot[1].extend(st["tp"])
             slot[2] += st["n_gt"]
-    aps: dict[tuple[int, int], float] = {}
-    for (cls, ti), (scores, tp, n_gt) in pool.items():
-        aps[(cls, ti)] = pooled_average_precision(
-            np.array(scores), np.array(tp), n_gt
-        )
-    vals = np.array(list(aps.values()))
-    v50 = np.array([v for (c, t), v in aps.items() if t == 0])
-    v75 = np.array([v for (c, t), v in aps.items() if t == 5])
+            slot[3] += st["tp_md1"]
+            slot[4] += st["tp_md10"]
+
+    ap: dict[tuple, float] = {}
+    rec: dict[tuple, tuple] = {}
+    for key, (scores, tp, n_gt, t1, t10) in pool.items():
+        ap[key] = pooled_average_precision(np.array(scores), np.array(tp), n_gt)
+        if n_gt == 0:
+            rec[key] = (float("nan"),) * 3
+        else:
+            rec[key] = (t1 / n_gt, t10 / n_gt, int(np.sum(tp)) / n_gt)
+
+    def _mean(vals):
+        arr = np.asarray(vals, dtype=np.float64)
+        arr = arr[~np.isnan(arr)]
+        return float(arr.mean()) if arr.size else -1.0
+
+    def _ap_area(area, thr=None):
+        return _mean([
+            v for (c, t, a), v in ap.items()
+            if a == area and (thr is None or t == thr)
+        ])
+
+    def _rec_area(area, idx):
+        return _mean([v[idx] for (c, t, a), v in rec.items() if a == area])
+
     return {
-        "map": float(np.nanmean(vals)),
-        "map_50": float(np.nanmean(v50)),
-        "map_75": float(np.nanmean(v75)),
+        "map": _ap_area("all"),
+        "map_50": _ap_area("all", 0),
+        "map_75": _ap_area("all", 5),
+        "map_small": _ap_area("small"),
+        "map_medium": _ap_area("medium"),
+        "map_large": _ap_area("large"),
+        "mar_1": _rec_area("all", 0),
+        "mar_10": _rec_area("all", 1),
+        "mar_100": _rec_area("all", 2),
+        "mar_small": _rec_area("small", 2),
+        "mar_medium": _rec_area("medium", 2),
+        "mar_large": _rec_area("large", 2),
     }

@@ -412,9 +412,12 @@ MATCH_STATS_TYPE = ArrayType(
         [
             StructField("cls", IntegerType()),
             StructField("thr_idx", IntegerType()),
+            StructField("area", StringType()),
             StructField("scores", ArrayType(DoubleType())),
             StructField("tp", ArrayType(IntegerType())),
             StructField("n_gt", IntegerType()),
+            StructField("tp_md1", IntegerType()),
+            StructField("tp_md10", IntegerType()),
         ]
     )
 )
@@ -424,7 +427,7 @@ MATCH_STATS_TYPE = ArrayType(
 def match_stats_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
     """Per-document COCO matching partials for dataset-level mAP
     (decomposition of map_layout_evaluator.py:50-99, see
-    kernels.layout.match_stats)."""
+    kernels.layout.match_stats): one entry per (class, threshold, area)."""
     from docling_metrics_spark.kernels.layout import match_stats
 
     out = []
@@ -443,9 +446,12 @@ def match_stats_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
                 {
                     "cls": s["cls"],
                     "thr_idx": s["thr_idx"],
+                    "area": s["area"],
                     "scores": s["scores"],
                     "tp": [int(v) for v in s["tp"]],
                     "n_gt": s["n_gt"],
+                    "tp_md1": s["tp_md1"],
+                    "tp_md10": s["tp_md10"],
                 }
                 for s in stats
             ]
@@ -453,12 +459,18 @@ def match_stats_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-POOLED_AP_SCHEMA = "cls int, thr_idx int, ap double, n_gt bigint"
+POOLED_AP_SCHEMA = (
+    "cls int, thr_idx int, area string, ap double, "
+    "rec_1 double, rec_10 double, rec_100 double, n_gt bigint"
+)
 
 
 def pooled_ap_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per (class, threshold) group: pool all documents' (score, tp) pairs,
-    compute AP over the globally sorted pool."""
+    """Per (class, threshold, area) group: pool all documents' (score, tp)
+    pairs, compute AP over the globally sorted pool + pooled recalls at
+    maxdet 1/10/100. NaN→None so downstream avg() null-skips empty pools."""
+    import math
+
     import numpy as np
 
     from docling_metrics_spark.kernels.layout import pooled_average_precision
@@ -469,12 +481,29 @@ def pooled_ap_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) else np.empty(0, dtype=int)
     n_gt = int(pdf["n_gt"].sum())
     ap = pooled_average_precision(scores, tp, n_gt)
+
+    def _nn(v):
+        return None if (v is None or (isinstance(v, float) and math.isnan(v))) else float(v)
+
+    recs = (
+        (None, None, None)
+        if n_gt == 0
+        else (
+            float(pdf["tp_md1"].sum()) / n_gt,
+            float(pdf["tp_md10"].sum()) / n_gt,
+            float(tp.sum()) / n_gt,
+        )
+    )
     return pd.DataFrame(
         [
             {
                 "cls": int(pdf["cls"].iloc[0]),
                 "thr_idx": int(pdf["thr_idx"].iloc[0]),
-                "ap": ap,
+                "area": str(pdf["area"].iloc[0]),
+                "ap": _nn(ap),
+                "rec_1": recs[0],
+                "rec_10": recs[1],
+                "rec_100": recs[2],
                 "n_gt": n_gt,
             }
         ]

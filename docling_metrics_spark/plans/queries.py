@@ -2110,15 +2110,27 @@ def layout_map_dataset(spark, sf_dir):
     parts = docs.select(
         F.explode(match_stats_udf("gt_boxes", "pred_boxes")).alias("s")
     ).select("s.*")
-    aps = parts.groupBy("cls", "thr_idx").applyInPandas(
+    aps = parts.groupBy("cls", "thr_idx", "area").applyInPandas(
         pooled_ap_group, schema=POOLED_AP_SCHEMA
     )
+
+    def _area(col, area, thr=None):
+        cond = F.col("area") == area
+        if thr is not None:
+            cond = cond & (F.col("thr_idx") == thr)
+        return F.round(F.avg(F.when(cond, F.col(col))), 6)
+
     return aps.agg(
-        F.round(F.avg("ap"), 6).alias("map"),
-        F.round(
-            F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))), 6
-        ).alias("map_50"),
-        F.round(
-            F.avg(F.when(F.col("thr_idx") == 5, F.col("ap"))), 6
-        ).alias("map_75"),
+        _area("ap", "all").alias("map"),
+        _area("ap", "all", 0).alias("map_50"),
+        _area("ap", "all", 5).alias("map_75"),
+        _area("ap", "small").alias("map_small"),
+        _area("ap", "medium").alias("map_medium"),
+        _area("ap", "large").alias("map_large"),
+        _area("rec_1", "all").alias("mar_1"),
+        _area("rec_10", "all").alias("mar_10"),
+        _area("rec_100", "all").alias("mar_100"),
+        _area("rec_100", "small").alias("mar_small"),
+        _area("rec_100", "medium").alias("mar_medium"),
+        _area("rec_100", "large").alias("mar_large"),
     )

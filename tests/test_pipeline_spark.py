@@ -211,14 +211,36 @@ def test_dataset_map_matches_local(spark):
     parts = docs.select(
         F.explode(match_stats_udf("gt_boxes", "pred_boxes")).alias("s")
     ).select("s.*")
-    aps = parts.groupBy("cls", "thr_idx").applyInPandas(
+    aps = parts.groupBy("cls", "thr_idx", "area").applyInPandas(
         pooled_ap_group, schema=POOLED_AP_SCHEMA
     )
+
+    def _area(col, area, thr=None):
+        cond = F.col("area") == area
+        if thr is not None:
+            cond = cond & (F.col("thr_idx") == thr)
+        return F.avg(F.when(cond, F.col(col)))
+
     got = aps.agg(
-        F.avg("ap").alias("map"),
-        F.avg(F.when(F.col("thr_idx") == 0, F.col("ap"))).alias("map_50"),
-        F.avg(F.when(F.col("thr_idx") == 5, F.col("ap"))).alias("map_75"),
+        _area("ap", "all").alias("map"),
+        _area("ap", "all", 0).alias("map_50"),
+        _area("ap", "all", 5).alias("map_75"),
+        _area("ap", "small").alias("map_small"),
+        _area("ap", "medium").alias("map_medium"),
+        _area("ap", "large").alias("map_large"),
+        _area("rec_1", "all").alias("mar_1"),
+        _area("rec_10", "all").alias("mar_10"),
+        _area("rec_100", "all").alias("mar_100"),
+        _area("rec_100", "small").alias("mar_small"),
+        _area("rec_100", "medium").alias("mar_medium"),
+        _area("rec_100", "large").alias("mar_large"),
     ).collect()[0]
-    assert abs(got["map"] - want["map"]) < 1e-9
-    assert abs(got["map_50"] - want["map_50"]) < 1e-9
-    assert abs(got["map_75"] - want["map_75"]) < 1e-9
+    for k in ("map", "map_50", "map_75", "map_small", "map_medium",
+              "map_large", "mar_1", "mar_10", "mar_100", "mar_small",
+              "mar_medium", "mar_large"):
+        g = got[k]
+        w = want[k]
+        if w == -1.0:  # no in-range GT anywhere → null in Spark
+            assert g is None, k
+        else:
+            assert g is not None and abs(g - w) < 1e-9, (k, g, w)
