@@ -1081,15 +1081,28 @@ def _lsh_candidate_pairs(spark, sf_dir, id_cap: int = 300, n_tables: int = 24,
     (table, bucket): candidate cost is Σ bucket² per table, never all-pairs."""
     from docling_metrics_spark.operators.udfs import make_multi_lsh_buckets_udf
 
+    import hashlib
+    import os as _os
+
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < id_cap).select(
         "vec_id", "embedding"
     )
-    udf = make_multi_lsh_buckets_udf(
-        dim=64, n_planes=n_planes, n_tables=n_tables, seed=seed
+    # Materialize the signature table once (deterministic: seeded planes) —
+    # the self-join below would otherwise re-evaluate the UDF per branch.
+    # At lake scale this is the persisted signatures table next to the
+    # embeddings (same design as the minhash signature checkpoint).
+    sig_path = (
+        f"/tmp/dms_lsh_sigs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{id_cap}_{n_tables}x{n_planes}_{seed}"
     )
-    sigs = e.select(
-        "vec_id", F.posexplode(udf("embedding")).alias("t", "bucket")
-    )
+    if not _os.path.exists(_os.path.join(sig_path, "_SUCCESS")):
+        udf = make_multi_lsh_buckets_udf(
+            dim=64, n_planes=n_planes, n_tables=n_tables, seed=seed
+        )
+        e.select(
+            "vec_id", F.posexplode(udf("embedding")).alias("t", "bucket")
+        ).write.mode("overwrite").parquet(sig_path)
+    sigs = spark.read.parquet(sig_path)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
@@ -1191,13 +1204,24 @@ def embedding_lsh_topk(spark, sf_dir, k: int = 5):
     from pyspark.sql.window import Window
 
     scored = _lsh_candidate_pairs(spark, sf_dir)
-    directed = scored.unionByName(
-        scored.select(
-            F.col("id_b").alias("id_a"),
-            F.col("id_a").alias("id_b"),
-            "cosine",
-        )
-    ).select(F.col("id_a").alias("qid"), F.col("id_b").alias("vec_id"), "cosine")
+    # both directions via one JVM-side explode — a union of `scored` with
+    # its swap would execute the whole candidate pipeline twice
+    directed = scored.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("qid"),
+                    F.col("id_b").alias("vec_id"),
+                    F.col("cosine"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("qid"),
+                    F.col("id_a").alias("vec_id"),
+                    F.col("cosine"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.qid", "d.vec_id", "d.cosine")
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         directed.withColumn("rank", F.row_number().over(w))
