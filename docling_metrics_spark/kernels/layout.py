@@ -112,26 +112,31 @@ def _match_with_ignore(
     first, and a dt may fall through to an ignored GT only when no valid GT
     remains. Returns (dtm gt-row-index or -1 per dt, dt_ignored flags)."""
     n_gt, n_dt = ious.shape
-    gtm = np.full(n_gt, -1, dtype=np.int64)
+    # plain-python lists: the tight greedy loop on ≤tens of boxes is
+    # dominated by numpy scalar-indexing overhead otherwise
+    ious_l = ious.T.tolist()  # [n_dt][n_gt]
+    ig_l = gt_ig.tolist()
+    gtm = [-1] * n_gt
     dtm = np.full(n_dt, -1, dtype=np.int64)
     dt_ig = np.zeros(n_dt, dtype=bool)
     for d in range(n_dt):
+        row = ious_l[d]
         best = min(thr, 1.0 - 1e-10)
         m = -1
         for g in range(n_gt):
             if gtm[g] >= 0:
                 continue
-            if m > -1 and not gt_ig[m] and gt_ig[g]:
+            if m > -1 and not ig_l[m] and ig_l[g]:
                 break  # remaining gts are all ignored (sorted)
-            if ious[g, d] < best:
+            if row[g] < best:
                 continue
-            best = ious[g, d]
+            best = row[g]
             m = g
         if m == -1:
             continue
         dtm[d] = m
         gtm[m] = d
-        dt_ig[d] = gt_ig[m]
+        dt_ig[d] = ig_l[m]
     return dtm, dt_ig
 
 
@@ -190,20 +195,36 @@ def evaluate_map(
 
         for area, (lo, hi) in AREA_RANGES.items():
             gt_ig = (g_area < lo) | (g_area > hi)
+            dt_out = (p_area < lo) | (p_area > hi)
+            npig = int((~gt_ig).sum())
+            maxdets = (1, 10, max_det) if area == "all" else (max_det,)
+            if npig == 0 and bool(dt_out.all()):
+                # bucket empty on both sides: every AP/AR is NaN — skip the
+                # threshold loop (most documents have no small boxes, so
+                # this saves ~1/2 the matching work)
+                for ti in range(n_thr):
+                    ap[(cls, ti, area)] = float("nan")
+                    for md in maxdets:
+                        ar[(cls, ti, area, md)] = float("nan")
+                continue
             order = np.argsort(gt_ig, kind="stable")  # non-ignored first
             ious_o = ious_full[order]
             git = gt_ig[order]
-            npig = int((~git).sum())
-            dt_out = (p_area < lo) | (p_area > hi)
-            maxdets = (1, 10, max_det) if area == "all" else (max_det,)
             for ti in range(n_thr):
                 dtm, dt_ig = _match_with_ignore(ious_o, git, IOU_THRESHOLDS[ti])
                 # unmatched out-of-range dts are ignored, not false positives
                 dt_ig = dt_ig | ((dtm == -1) & dt_out)
                 for md in maxdets:
-                    a, r = _ap_ar_from_match(dtm[:md], dt_ig[:md], npig)
                     if md == max_det:
+                        a, r = _ap_ar_from_match(dtm, dt_ig, npig)
                         ap[(cls, ti, area)] = a
+                    elif npig == 0:
+                        r = float("nan")
+                    else:
+                        # truncated maxdets only need the recall — skip
+                        # the (comparatively costly) AP integration
+                        keep = ~dt_ig[:md]
+                        r = float(((dtm[:md] >= 0) & keep).sum() / npig)
                     ar[(cls, ti, area, md)] = r
 
     def _mean(vals: list[float]) -> float:
@@ -448,11 +469,13 @@ def match_stats(
         ious = iou_matrix(g, pb)
         for area, (lo, hi) in AREA_RANGES.items():
             gt_ig = (g_area < lo) | (g_area > hi)
+            dt_out = (p_area < lo) | (p_area > hi)
+            npig = int((~gt_ig).sum())
+            if npig == 0 and bool(dt_out.all()):
+                continue  # empty bucket contributes nothing to the pool
             order = np.argsort(gt_ig, kind="stable")
             ious_o = ious[order]
             git = gt_ig[order]
-            npig = int((~git).sum())
-            dt_out = (p_area < lo) | (p_area > hi)
             for ti, thr in enumerate(IOU_THRESHOLDS):
                 dtm, dt_ig = _match_with_ignore(ious_o, git, thr)
                 dt_ig = dt_ig | ((dtm == -1) & dt_out)
