@@ -2183,7 +2183,14 @@ def streaming_extract(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query("streaming_dedup")
+@query(
+    "streaming_dedup",
+    """
+    SELECT count(DISTINCT md5(raw_html)) AS n_unique,
+           count(DISTINCT md5(raw_html)) AS n_distinct_fp
+    FROM read_parquet('/tmp/dms_stream_dedup_src/*.parquet')
+    """,
+)
 def streaming_dedup(spark, sf_dir):
     """Streaming exact dedup (dropDuplicates state over a file stream):
     first-seen-wins on the content fingerprint. Source has 100 injected
