@@ -103,14 +103,29 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
 
     _lsh_sigs_table(spark, sf_dir).count()
 
+    # Optional repeats per query (reference benchmark harnesses emit
+    # min/max/mean/median stats per run; repeats>1 reproduces that surface).
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")), 1)
+    stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        _force(df)
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            _force(df)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        if repeats > 1:
+            srt = sorted(samples)
+            stats[name] = {
+                "min": round(srt[0], 3),
+                "max": round(srt[-1], 3),
+                "mean": round(sum(srt) / len(srt), 3),
+                "median": round(srt[len(srt) // 2], 3),
+            }
         if name == "extract_spans_pipeline":
             # Row count for docs/sec, measured OUTSIDE the timed window
             # (the count() plan prunes UDF columns, so it is cheap).
@@ -143,6 +158,7 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "corpus_caps": caps,
+        **({"query_stats": stats} if stats else {}),
         "sf": sf_dir,
         "master": master,
         "n_docs": n_docs,

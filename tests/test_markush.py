@@ -182,3 +182,42 @@ def test_markush_spark_aggregate_matches_local(spark):
     assert row["cxsmi_equality_rate"] == pytest.approx(
         local["cxsmi_equality_rate"], abs=2e-3
     )
+
+
+def test_parse_cxsmiles_never_crashes_on_fuzz():
+    """Arbitrary garbage must yield None or a Molecule — never raise
+    (the kernel runs inside Arrow batches; one bad row must not kill a
+    task)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_metrics_spark.kernels.markush import (
+        Molecule,
+        parse_cxsmiles,
+    )
+
+    @given(st.text(alphabet="CNOclBr()[]|$;:,.*123%=#~ ", max_size=60))
+    @settings(max_examples=300, deadline=None)
+    def run(s):
+        out = parse_cxsmiles(s)
+        assert out is None or isinstance(out, Molecule)
+
+    run()
+
+
+def test_evaluate_markush_pair_never_crashes_on_fuzz():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from docling_metrics_spark.kernels.markush import evaluate_markush_pair
+
+    @given(
+        st.text(alphabet="CNO()[]|$;:,.*12", max_size=30),
+        st.text(alphabet="CNO()[]|$;:,.*12", max_size=30),
+    )
+    @settings(max_examples=200, deadline=None)
+    def run(a, b):
+        s = evaluate_markush_pair(a, b)
+        assert isinstance(s["valid"], bool)
+
+    run()
