@@ -27,6 +27,8 @@ from collections.abc import Hashable, Sequence
 
 def levenshtein(a: Sequence[Hashable], b: Sequence[Hashable]) -> int:
     """Exact Levenshtein distance via the bit-parallel Myers algorithm."""
+    if a == b:
+        return 0
     m, n = len(a), len(b)
     if m == 0:
         return n
