@@ -291,7 +291,13 @@ def rasterize_multilabel(
     Pixel bit layout: data class k sets bit (k+1); bit 0 is set on pixels no
     class covers (the background class, category index 0 in the matrix) —
     the reference's encoding (multi_label_confusion_matrix.py:75-121) with
-    our synthetic category ids shifted up one so background owns bit 0."""
+    our synthetic category ids shifted up one so background owns bit 0.
+
+    With ``set_background=False`` (reference parity option) empty pixels
+    carry mask 0; like the reference, case 3 of the confusion algebra then
+    divides by a zero pred popcount and yields non-finite entries — use it
+    only for inputs whose every pixel is covered (the reference's paper
+    fixture does exactly that)."""
     if n_classes > 62:
         raise ValueError("at most 62 classes fit the uint64 bitmask encoding")
     img = np.zeros((height, width), dtype=np.uint64)

@@ -373,12 +373,22 @@ def evaluate_markush_pair(gt_cxsmiles: str, pred_cxsmiles: str | None) -> dict:
     (molecule_scores.py:176-666) on the fallback chemistry layer."""
     scores = dict(_DEFAULT_SCORES)
     if pred_cxsmiles is None:
+        # missing prediction: r/m/sg stay None — excluded from the
+        # conditional means (reference _default_result,
+        # docling_metrics_chemistry.py:163-213)
         return scores
     scores["string_equality"] = pred_cxsmiles == gt_cxsmiles
 
     gt = parse_cxsmiles(gt_cxsmiles)
     pred = parse_cxsmiles(pred_cxsmiles)
     if gt is None or pred is None:
+        # UNPARSEABLE prediction: features the GT actually has score 0.0
+        # (dragging the conditional means down), absent features stay None
+        # (reference docling_metrics_chemistry.py:217-235)
+        if gt is not None:
+            scores["r"] = 0.0 if gt.rgroups else None
+            scores["m"] = 0.0 if gt.m_sections else None
+            scores["sg"] = 0.0 if gt.sg_sections else None
         return scores
 
     n_gt_frags = len(gt.frag_atom_indices)
@@ -559,6 +569,12 @@ def evaluate_markush_pair(gt_cxsmiles: str, pred_cxsmiles: str | None) -> dict:
                     and all(
                         any(p in gt_to_pred[g] for p in pred_atoms)
                         for g in gt_atoms
+                    )
+                    # reverse direction too: every pred sgroup atom must be
+                    # mapped from some gt atom (molecule_scores.py:611-620)
+                    and all(
+                        any(p in gt_to_pred[g] for g in gt_atoms)
+                        for p in pred_atoms
                     )
                     and sec_pred["label"] == sec_gt["label"]
                 ):

@@ -121,12 +121,17 @@ def text_scores_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None) -> dict:
+def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
+              to_bracket=None) -> dict:
     """Order-paired TEDS over a document's table spans.
 
     Tables are paired by order of appearance (the i-th GT table vs the i-th
     predicted table); unpaired tables score 0 — analogous to the reference's
-    missing-prediction default semantics (data_loader.py:122-134)."""
+    missing-prediction default semantics (data_loader.py:122-134).
+    ``to_bracket`` selects the per-table input mode (HTML direct vs
+    cells-canonicalized) — the same pairing/error semantics serve both."""
+    if to_bracket is None:
+        to_bracket = html_to_bracket
     # Arrow hands array columns to Python as numpy arrays.
     gt_tables = list(gt_tables) if gt_tables is not None else []
     pred_tables = list(pred_tables) if pred_tables is not None else []
@@ -147,7 +152,7 @@ def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None) -> dic
             continue
         try:
             teds, _, _ = teds_from_brackets(
-                html_to_bracket(gt_tables[i]), html_to_bracket(pred_tables[i])
+                to_bracket(gt_tables[i]), to_bracket(pred_tables[i])
             )
             scores.append(teds)
         except ValueError:
@@ -552,45 +557,19 @@ def teds_cells_doc_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataF
     docling_metrics_table.py:190-199): each table's HTML is parsed to the
     GriTS cell schema, re-serialized through cells_to_html canonicalization,
     and only then TEDS-scored — exercising the third of the reference's
-    three table input modes (bracket / HTML / cells)."""
+    three table input modes (bracket / HTML / cells). Pairing and error
+    semantics are shared with the HTML mode via :func:`_doc_teds`."""
     from docling_metrics_spark.kernels.grits import cells_to_html, html_to_cells
 
-    rows = []
-    for g, p in zip(gt_tables, pred_tables):
-        gt_list = list(g) if g is not None else []
-        pred_list = list(p) if p is not None else []
-        n = max(len(gt_list), len(pred_list))
-        if n == 0:
-            rows.append(
-                {"teds_mean": None, "n_tables_gt": 0, "n_tables_pred": 0,
-                 "n_pairs": 0, "error_count": 0}
-            )
-            continue
-        scores, errors = [], 0
-        for i in range(n):
-            if i >= len(gt_list) or i >= len(pred_list):
-                scores.append(0.0)
-                continue
-            try:
-                ca = cells_to_html(html_to_cells(gt_list[i]))
-                cb = cells_to_html(html_to_cells(pred_list[i]))
-                teds, _, _ = teds_from_brackets(
-                    html_to_bracket(ca), html_to_bracket(cb)
-                )
-                scores.append(teds)
-            except ValueError:
-                errors += 1
-                scores.append(0.0)
-        rows.append(
-            {
-                "teds_mean": sum(scores) / len(scores),
-                "n_tables_gt": len(gt_list),
-                "n_tables_pred": len(pred_list),
-                "n_pairs": min(len(gt_list), len(pred_list)),
-                "error_count": errors,
-            }
-        )
-    return pd.DataFrame(rows)
+    def via_cells(html: str) -> str:
+        return html_to_bracket(cells_to_html(html_to_cells(html)))
+
+    return pd.DataFrame(
+        [
+            _doc_teds(g, p, to_bracket=via_cells)
+            for g, p in zip(gt_tables, pred_tables)
+        ]
+    )
 
 
 TREE_STATS_TYPE = StructType(

@@ -707,6 +707,39 @@ def embedding_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def _src_fingerprint() -> str:
+    """8-hex digest of the fixture-generating source (datagen, extraction,
+    kernels, UDFs, and this module). Every /tmp fixture/cache path embeds
+    it, so caches invalidate automatically when the generating code
+    changes instead of silently serving stale data across edits."""
+    import hashlib
+    import os as _os
+
+    pkg = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    h = hashlib.md5()
+    paths = [
+        _os.path.join(pkg, "datagen.py"),
+        _os.path.join(pkg, "extraction", "html_extract.py"),
+        _os.path.join(pkg, "operators", "udfs.py"),
+        _os.path.abspath(__file__.rstrip("c")),
+    ]
+    kdir = _os.path.join(pkg, "kernels")
+    paths += [
+        _os.path.join(kdir, f) for f in sorted(_os.listdir(kdir))
+        if f.endswith(".py")
+    ]
+    for f in paths:
+        try:
+            with open(f, "rb") as fh:
+                h.update(fh.read())
+        except OSError:
+            pass
+    return h.hexdigest()[:8]
+
+
+_SRC_TAG = _src_fingerprint()
+
+
 # Per-query synthetic-corpus caps for the heavy UDF operators ("no silent
 # caps": bench.py reports these in its JSON output whenever a cap binds).
 CORPUS_CAPS: dict[str, int] = {
@@ -751,7 +784,8 @@ def _corpus(spark, sf_dir, cap: int = 2000):
             f"{sf_dir}/documents.parquet"
         ).metadata.num_rows
     n = min(_CORPUS_SIZES[sf_dir], cap)
-    path = f"/tmp/dms_corpus_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n}"
+    path = (f"/tmp/dms_corpus_{_SRC_TAG}_"
+            f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{n}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         write_corpus(spark, path, n_docs=n, partitions=128)
     return spark.read.parquet(path)
@@ -931,9 +965,10 @@ def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
     # signature table can be RELEASED before returning — repeated
     # invocations in one session previously accumulated cached partitions
     # (ADVICE r1). At cluster scale this write is the job's output table.
-    import hashlib as _hashlib
-
-    out = f"/tmp/dms_minhash_pairs_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # ONE fixed path, overwritten per invocation: the true-Jaccard oracle
+    # reads the same path, so it always verifies the pairs the most recent
+    # Spark run emitted, regardless of tier.
+    out = "/tmp/dms_minhash_pairs"
     result.write.mode("overwrite").parquet(out)
     sigs.unpersist()
     return spark.read.parquet(out).orderBy("id_a", "id_b")
@@ -944,7 +979,7 @@ def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
     """
     WITH pairs AS (
         SELECT id_a, id_b
-        FROM read_parquet('/tmp/dms_minhash_pairs_cfc1c0f8/*.parquet')
+        FROM read_parquet('/tmp/dms_minhash_pairs/*.parquet')
     ),
     sh AS (
         SELECT doc_id,
@@ -1082,7 +1117,8 @@ def _lsh_sigs_table(spark, sf_dir, id_cap: int = 300, n_tables: int = 24,
     from docling_metrics_spark.operators.udfs import make_multi_lsh_buckets_udf
 
     sig_path = (
-        f"/tmp/dms_lsh_sigs_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        f"/tmp/dms_lsh_sigs_{_SRC_TAG}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         f"_{id_cap}_{n_tables}x{n_planes}_{seed}"
     )
     if not _os.path.exists(_os.path.join(sig_path, "_SUCCESS")):
@@ -1549,7 +1585,7 @@ def teds_similarity_join(spark, sf_dir, threshold: float = 0.8):
     import os as _os
 
     stats_path = (
-        "/tmp/dms_tsj_stats_"
+        f"/tmp/dms_tsj_stats_{_SRC_TAG}_"
         f"{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
         f"_{CORPUS_CAPS['teds_similarity_join']}"
     )
@@ -1855,7 +1891,7 @@ def _smiles_fixture(spark) -> str:
     import os as _os
     import random as _random
 
-    path = "/tmp/dms_smiles_fixture.parquet"
+    path = f"/tmp/dms_smiles_fixture_{_SRC_TAG}.parquet"
     if not _os.path.exists(path):
         rng = _random.Random(20260817)
         frags = ["C", "CC", "CCO", "c1ccccc1", "N", "O", "CC(=O)O",
@@ -1884,14 +1920,14 @@ def _smiles_fixture(spark) -> str:
 
 @query(
     "smiles_equality",
-    """
+    f"""
     SELECT count(*) AS n,
            round(avg(CASE WHEN pred_smiles = gt_smiles THEN 1.0 ELSE 0.0 END), 3)
                AS equality_rate,
            CAST(sum(CASE WHEN pred_smiles IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_missing,
            round(avg(length(gt_smiles)), 3) AS avg_gt_len
-    FROM read_parquet('/tmp/dms_smiles_fixture.parquet')
+    FROM read_parquet('/tmp/dms_smiles_fixture_{_SRC_TAG}.parquet')
     """,
 )
 def smiles_equality(spark, sf_dir):
@@ -1959,7 +1995,7 @@ def _markush_fixture(spark) -> str:
     import os as _os
     import random as _random
 
-    path = "/tmp/dms_markush_fixture.parquet"
+    path = f"/tmp/dms_markush_fixture_{_SRC_TAG}.parquet"
     if not _os.path.exists(path):
         from docling_metrics_spark.kernels.markush import parse_fragment
 
@@ -2010,7 +2046,7 @@ def _markush_fixture(spark) -> str:
 
 @query(
     "markush_equality",
-    """
+    f"""
     SELECT count(*) AS n,
            round(avg(CASE WHEN pred_cx = gt_cx THEN 1.0 ELSE 0.0 END), 3)
                AS string_equality_rate,
@@ -2018,7 +2054,7 @@ def _markush_fixture(spark) -> str:
                AS n_missing,
            CAST(sum(CASE WHEN gt_cx LIKE '%|%' THEN 1 ELSE 0 END) AS BIGINT)
                AS n_with_extension
-    FROM read_parquet('/tmp/dms_markush_fixture.parquet')
+    FROM read_parquet('/tmp/dms_markush_fixture_{_SRC_TAG}.parquet')
     """,
 )
 def markush_equality(spark, sf_dir):
@@ -2173,7 +2209,7 @@ def streaming_extract(spark, sf_dir):
         run_available_now,
     )
 
-    src = "/tmp/dms_stream_corpus"
+    src = f"/tmp/dms_stream_corpus_{_SRC_TAG}"
     if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
         generate_documents_df(spark, 400, partitions=8).write.mode(
             "overwrite"
@@ -2185,10 +2221,10 @@ def streaming_extract(spark, sf_dir):
 
 @query(
     "streaming_dedup",
-    """
+    f"""
     SELECT count(DISTINCT md5(raw_html)) AS n_unique,
            count(DISTINCT md5(raw_html)) AS n_distinct_fp
-    FROM read_parquet('/tmp/dms_stream_dedup_src/*.parquet')
+    FROM read_parquet('/tmp/dms_stream_dedup_src_{_SRC_TAG}/*.parquet')
     """,
 )
 def streaming_dedup(spark, sf_dir):
@@ -2204,7 +2240,7 @@ def streaming_dedup(spark, sf_dir):
         run_available_now,
     )
 
-    src = "/tmp/dms_stream_dedup_src"
+    src = f"/tmp/dms_stream_dedup_src_{_SRC_TAG}"
     if not _os.path.exists(_os.path.join(src, "_SUCCESS")):
         docs = generate_documents_df(spark, 400, partitions=8)
         dups = (

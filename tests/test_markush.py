@@ -221,3 +221,27 @@ def test_evaluate_markush_pair_never_crashes_on_fuzz():
         assert isinstance(s["valid"], bool)
 
     run()
+
+
+def test_markush_unparseable_pred_zeroes_present_features():
+    """Reference docling_metrics_chemistry.py:217-235: an UNPARSEABLE
+    prediction scores 0.0 for the features the GT has (dragging the
+    conditional means down) and None for absent features; a MISSING
+    prediction stays None everywhere."""
+    gt = "*C1CCCC1 |$R;;;;;$,m:0:1.2.3|"
+    bad = evaluate_markush_pair(gt, "C((")
+    assert bad["r"] == 0.0 and bad["m"] == 0.0 and bad["sg"] is None
+    missing = evaluate_markush_pair(gt, None)
+    assert missing["r"] is None and missing["m"] is None
+    # GT without any Markush features: unparseable pred keeps None
+    plain = evaluate_markush_pair("CCO", "C((")
+    assert plain["r"] is None and plain["m"] is None and plain["sg"] is None
+
+
+def test_markush_sg_atom_set_mismatch_rejected():
+    """Sg matching enforces the reference's full condition set
+    (molecule_scores.py:611-620): equal atom-set size plus BOTH mapping
+    directions — a pred sgroup over a different atom set must not match."""
+    gt = "CCOC |Sg:n:1,2:F:ht|"
+    s = evaluate_markush_pair(gt, "CCOC |Sg:n:1,2,3:F:ht|")
+    assert s["sg"] == 0.0

@@ -165,7 +165,9 @@ def test_streaming_dedup_matches_batch(spark):
 
     row = streaming_dedup(spark, "unused").collect()[0]
     batch = (
-        spark.read.parquet("/tmp/dms_stream_dedup_src")
+        spark.read.parquet(
+            f"/tmp/dms_stream_dedup_src_{__import__('docling_metrics_spark.plans.queries', fromlist=['_SRC_TAG'])._SRC_TAG}"
+        )
         .agg(
             F.count("*").alias("n_rows"),
             F.count_distinct(F.md5("raw_html")).alias("n_unique"),
