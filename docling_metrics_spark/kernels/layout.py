@@ -430,6 +430,32 @@ def confusion_metrics(cm: np.ndarray) -> dict[str, float]:
     }
 
 
+def confusion_per_class(cm: np.ndarray) -> dict[str, dict[str, float]]:
+    """Per-class precision/recall/f1 dicts (the reference's
+    MultiLabelMatrixAggMetrics classes_* fields,
+    multi_label_confusion_matrix.py:459-478). Index 0 is the background
+    class; data class k sits at index k+1, keyed "cat_<k>"."""
+    diag = np.diag(cm)
+    col_sums = cm.sum(axis=0)
+    row_sums = cm.sum(axis=1)
+    precision = np.divide(diag, col_sums, out=np.zeros_like(diag),
+                          where=col_sums != 0)
+    recall = np.divide(diag, row_sums, out=np.zeros_like(diag),
+                       where=row_sums != 0)
+    denom = precision + recall
+    f1 = np.divide(2 * precision * recall, denom, out=np.zeros_like(diag),
+                   where=denom != 0)
+
+    def name(i: int) -> str:
+        return "background" if i == 0 else f"cat_{i - 1}"
+
+    return {
+        "classes_precision": {name(i): float(v) for i, v in enumerate(precision)},
+        "classes_recall": {name(i): float(v) for i, v in enumerate(recall)},
+        "classes_f1": {name(i): float(v) for i, v in enumerate(f1)},
+    }
+
+
 def collapsed_confusion_matrix(cm: np.ndarray) -> np.ndarray:
     """Collapse all non-background classes into one (reference
     compute_metrics, multi_label_confusion_matrix.py:396-411): 2×2 matrix
@@ -554,6 +580,7 @@ def merged_map_local(docs: list[tuple[list, list]]) -> dict[str, float]:
     def _rec_area(area, idx):
         return _mean([v[idx] for (c, t, a), v in rec.items() if a == area])
 
+    classes = sorted({c for (c, _, _) in ap})
     return {
         "map": _ap_area("all"),
         "map_50": _ap_area("all", 0),
@@ -567,4 +594,16 @@ def merged_map_local(docs: list[tuple[list, list]]) -> dict[str, float]:
         "mar_small": _rec_area("small", 2),
         "mar_medium": _rec_area("medium", 2),
         "mar_large": _rec_area("large", 2),
+        "map_per_class": {
+            f"cat_{c}": _mean(
+                [v for (cc, t, a), v in ap.items() if cc == c and a == "all"]
+            )
+            for c in classes
+        },
+        "mar_100_per_class": {
+            f"cat_{c}": _mean(
+                [v[2] for (cc, t, a), v in rec.items() if cc == c and a == "all"]
+            )
+            for c in classes
+        },
     }

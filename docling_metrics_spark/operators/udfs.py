@@ -385,6 +385,9 @@ def make_tore_final_udf(n_classes: int):
                 StructField("collapsed_precision_mean", DoubleType()),
                 StructField("collapsed_recall_mean", DoubleType()),
                 StructField("collapsed_f1_mean", DoubleType()),
+                StructField("classes_precision", MapType(StringType(), DoubleType())),
+                StructField("classes_recall", MapType(StringType(), DoubleType())),
+                StructField("classes_f1", MapType(StringType(), DoubleType())),
                 StructField("total_weight", DoubleType()),
             ]
         )
@@ -393,18 +396,21 @@ def make_tore_final_udf(n_classes: int):
         from docling_metrics_spark.kernels.layout import (
             collapsed_confusion_matrix,
             confusion_metrics,
+            confusion_per_class,
         )
 
         rows = []
         for arr in summed_col:
             cm = np.asarray(arr, dtype=float).reshape(n_cm, n_cm)
             m = confusion_metrics(cm)
-            # reference emits detailed + background-vs-all collapsed metrics
-            # (multi_label_confusion_matrix.py:396-417)
+            # reference emits detailed (means + per-class dicts) and
+            # background-vs-all collapsed metrics
+            # (multi_label_confusion_matrix.py:396-488)
             collapsed = confusion_metrics(collapsed_confusion_matrix(cm))
             m["collapsed_precision_mean"] = collapsed["precision_mean"]
             m["collapsed_recall_mean"] = collapsed["recall_mean"]
             m["collapsed_f1_mean"] = collapsed["f1_mean"]
+            m.update(confusion_per_class(cm))
             m["total_weight"] = float(cm.sum())
             rows.append(m)
         return pd.DataFrame(rows)
@@ -624,3 +630,53 @@ def teds_pair_bracket_udf(bracket_a: pd.Series, bracket_b: pd.Series) -> pd.Seri
         except ValueError:
             out.append(0.0)
     return pd.Series(out)
+
+
+def make_tore_page_udf(n_classes: int, page_width: int, page_height: int):
+    """Per-PAGE TORE evaluation (reference evaluate_sample →
+    PageToreEvaluation, tore_layout_evaluator.py:145-167): each document's
+    own confusion matrix reduced to detailed + collapsed means and the
+    page pixel count. The dataset path (make_tore_partial_udf + slot sum)
+    stays separate — this is the reference's other result mode."""
+    n_cm = n_classes + 1
+
+    @F.pandas_udf(
+        StructType(
+            [
+                StructField("num_pixels", LongType()),
+                StructField("precision_mean", DoubleType()),
+                StructField("recall_mean", DoubleType()),
+                StructField("f1_mean", DoubleType()),
+                StructField("collapsed_f1_mean", DoubleType()),
+            ]
+        )
+    )
+    def tore_page_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
+        from docling_metrics_spark.kernels.layout import (
+            collapsed_confusion_matrix,
+            confusion_matrix_from_masks,
+            confusion_metrics,
+        )
+
+        rows = []
+        for g, p in zip(gt_boxes, pred_boxes):
+            gt = [
+                (int(b["category_id"]), list(b["bbox"]))
+                for b in (g if g is not None else [])
+            ]
+            pr = [
+                (int(b["category_id"]), list(b["bbox"]))
+                for b in (p if p is not None else [])
+            ]
+            gt_img = rasterize_multilabel(gt, page_width, page_height, n_classes)
+            pred_img = rasterize_multilabel(pr, page_width, page_height, n_classes)
+            cm = confusion_matrix_from_masks(gt_img, pred_img, n_classes)
+            m = confusion_metrics(cm)
+            m["collapsed_f1_mean"] = confusion_metrics(
+                collapsed_confusion_matrix(cm)
+            )["f1_mean"]
+            m["num_pixels"] = page_width * page_height
+            rows.append(m)
+        return pd.DataFrame(rows)
+
+    return tore_page_udf

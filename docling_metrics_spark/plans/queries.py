@@ -897,6 +897,33 @@ def tore_confusion(spark, sf_dir):
     return summed.select(final_udf("summed").alias("m")).select("m.*")
 
 
+@query("tore_page_metrics")
+def tore_page_metrics(spark, sf_dir):
+    """Per-PAGE TORE metrics (the reference's evaluate_sample result mode,
+    tore_layout_evaluator.py:145-167): one row per document with that
+    page's detailed/collapsed means and pixel count."""
+    from docling_metrics_spark.kernels.datagen_meta import N_CATEGORIES
+    from docling_metrics_spark.operators.udfs import make_tore_page_udf
+
+    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["tore_confusion"])
+    udf = make_tore_page_udf(N_CATEGORIES, 640, 811)
+
+    def scale_boxes(col):
+        return F.transform(
+            col,
+            lambda b: F.struct(
+                b.category_id.alias("category_id"),
+                F.transform(b.bbox, lambda v: v / 2.0).alias("bbox"),
+                b.score.alias("score"),
+            ),
+        )
+
+    return docs.select(
+        "doc_id",
+        udf(scale_boxes(F.col("gt_boxes")), scale_boxes(F.col("pred_boxes"))).alias("m"),
+    ).select("doc_id", "m.*")
+
+
 @query("minhash_lsh_dedup")
 def minhash_lsh_dedup(spark, sf_dir, num_perm: int = 128, n_bands: int = 16,
                       threshold: float = 0.5):
@@ -2315,7 +2342,7 @@ def layout_map_dataset(spark, sf_dir):
             cond = cond & (F.col("thr_idx") == thr)
         return F.round(F.avg(F.when(cond, F.col(col))), 6)
 
-    return aps.agg(
+    totals = aps.agg(
         _area("ap", "all").alias("map"),
         _area("ap", "all", 0).alias("map_50"),
         _area("ap", "all", 5).alias("map_75"),
@@ -2329,3 +2356,36 @@ def layout_map_dataset(spark, sf_dir):
         _area("rec_100", "medium").alias("mar_medium"),
         _area("rec_100", "large").alias("mar_large"),
     )
+    # per-class dicts (reference map_per_class / mar_100_per_class,
+    # map_layout_evaluator.py:164-171): mean over thresholds at area=all
+    per_cls = (
+        aps.filter(F.col("area") == "all")
+        .groupBy("cls")
+        .agg(
+            F.round(F.avg("ap"), 6).alias("cls_map"),
+            F.round(F.avg("rec_100"), 6).alias("cls_mar"),
+        )
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
+                            F.col("cls_map").alias("v"),
+                        )
+                    )
+                )
+            ).alias("map_per_class"),
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
+                            F.col("cls_mar").alias("v"),
+                        )
+                    )
+                )
+            ).alias("mar_100_per_class"),
+        )
+    )
+    return totals.crossJoin(per_cls)

@@ -244,3 +244,15 @@ def test_dataset_map_matches_local(spark):
             assert g is None, k
         else:
             assert g is not None and abs(g - w) < 1e-9, (k, g, w)
+
+    # per-class means (area=all) from the same pooled frame
+    per_cls = {
+        r.cls: (r.m, r.r100)
+        for r in aps.filter(F.col("area") == "all")
+        .groupBy("cls")
+        .agg(F.avg("ap").alias("m"), F.avg("rec_100").alias("r100"))
+        .collect()
+    }
+    for cls, (m, r100) in per_cls.items():
+        assert abs(m - want["map_per_class"][f"cat_{cls}"]) < 1e-9
+        assert abs(r100 - want["mar_100_per_class"][f"cat_{cls}"]) < 1e-9
