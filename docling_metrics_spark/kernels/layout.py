@@ -341,9 +341,9 @@ def confusion_matrix_binary(
         packed = (g_flat << shift) | p_flat
         if 2 * num_categories <= 20:
             # small key space: O(n) bincount beats np.unique's sort ~5×
-            dense = np.bincount(
-                packed.astype(np.int64), minlength=1 << (2 * num_categories)
-            )
+            # (bincount sizes itself to max(packed)+1 — no need to force
+            # the full 2^(2C) allocation)
+            dense = np.bincount(packed.astype(np.int64))
             keys = np.nonzero(dense)[0].astype(np.uint64)
             counts = dense[keys.astype(np.int64)]
         else:
