@@ -214,3 +214,53 @@ def test_teds_similarity_join_equals_bruteforce(spark):
     # every injected near-dup pair must be found
     assert any(a.rstrip("~p") == b.rstrip("~p") for (a, b) in want)
     assert got == want
+
+
+def test_lsh_topk_plan_has_no_python_nodes(spark):
+    """With the signature table materialized, the ANN search plan must be
+    pure JVM — a regression guard against per-branch UDF re-evaluation in
+    the self-join (fixed in round 2)."""
+    from docling_metrics_spark.plans.queries import (
+        _lsh_sigs_table,
+        embedding_lsh_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _lsh_sigs_table(spark, sf).count()  # index build (prep)
+    plan = embedding_lsh_topk(spark, sf)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for node in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, f"{node} in steady-state ANN plan"
+
+
+def test_flagship_plan_shape(spark):
+    """The flagship is narrow (no Exchange) with exactly the four Arrow
+    UDF evaluations (extract + text + TEDS + mAP)."""
+    from docling_metrics_spark.plans.queries import extract_spans_pipeline
+
+    plan = extract_spans_pipeline(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan
+    assert plan.count("ArrowEvalPython") == 4
+
+
+def test_minhash_releases_signature_cache(spark):
+    """minhash_lsh_dedup must not leave persisted RDDs behind (the round-1
+    cache leak): after materialization the persistent-RDD map is empty."""
+    from docling_metrics_spark.plans.queries import minhash_lsh_dedup
+
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = minhash_lsh_dedup(spark, "/root/testdata/sf0.001")
+    df.count()
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    # other test modules legitimately cache fixtures in the shared session;
+    # the query itself must not add any persistent RDDs
+    assert after == before, f"minhash leaked {after - before} persisted RDDs"
