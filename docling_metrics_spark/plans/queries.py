@@ -897,6 +897,44 @@ def tore_confusion(spark, sf_dir):
     return summed.select(final_udf("summed").alias("m")).select("m.*")
 
 
+@query(
+    "streaming_interval_join",
+    """
+    SELECT l.user_id,
+           count(*) AS n_pairs,
+           count(DISTINCT l.event_id) AS n_clicks_with_purchase
+    FROM events l JOIN events r
+      ON r.user_id = l.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    GROUP BY l.user_id
+    ORDER BY l.user_id
+    """,
+)
+def streaming_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join (click → purchase within 30
+    minutes per user), drained with AvailableNow and aggregated; the DuckDB
+    oracle runs the identical self-join as one batch SQL statement — a
+    cross-engine gate on the streaming join semantics."""
+    from docling_metrics_spark.streaming.windowed import (
+        interval_join_stream,
+        run_available_now,
+    )
+
+    pairs = run_available_now(
+        interval_join_stream(spark, f"{sf_dir}/events.parquet"),
+        output_mode="append",
+    )
+    return (
+        pairs.groupBy(F.col("l_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("l_event").alias("n_clicks_with_purchase"),
+        )
+        .orderBy("user_id")
+    )
+
+
 @query("tore_page_metrics")
 def tore_page_metrics(spark, sf_dir):
     """Per-PAGE TORE metrics (the reference's evaluate_sample result mode,

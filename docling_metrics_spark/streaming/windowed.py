@@ -172,3 +172,43 @@ def dedup_documents_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return stream.select(
         "doc_id", F.md5("raw_html").alias("fp")
     ).dropDuplicates(["fp"])
+
+
+def interval_join_stream(spark: SparkSession, source_dir: str,
+                         left_type: str = "click",
+                         right_type: str = "purchase",
+                         within: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each ``left_type``
+    event with the same user's ``right_type`` events that follow within
+    ``within``. Both sides carry watermarks and the join condition bounds
+    event time on both sides, so Spark can age out join state — the
+    canonical bounded-state stream-stream join. Batch twin = the same
+    self-join in one SQL statement (oracled in plans/queries.py)."""
+    left = (
+        read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == left_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("l_user"),
+            F.col("event_id").alias("l_event"),
+            F.col("ts").alias("l_ts"),
+        )
+    )
+    right = (
+        read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == right_type)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_id").alias("r_event"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    return left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts >= l_ts "
+            f"AND r_ts <= l_ts + interval {within}"
+        ),
+    )
