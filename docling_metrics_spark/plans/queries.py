@@ -1601,6 +1601,48 @@ def teds_cells_pairs(spark, sf_dir):
     )
 
 
+@query("teds_bracket_pairs")
+def teds_bracket_pairs(spark, sf_dir):
+    """TEDS via the BRACKET input mode — the reference's native C++ path
+    (TableMetricBracketInputSample, docling_metrics_table.py:211-231):
+    tables arrive already serialized as bracket strings and TEDS runs on
+    them directly, completing the trio of table input modes (bracket /
+    HTML / cells) as named queries."""
+    from docling_metrics_spark.operators.udfs import (
+        table_tree_stats_udf,
+        teds_pair_bracket_udf,
+    )
+    from docling_metrics_spark.pipeline import _table_htmls
+
+    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["teds_cells_pairs"])
+    paired = (
+        docs.withColumn("gt_tables", _table_htmls("spans"))
+        .withColumn("pred_tables", _table_htmls("pred_spans"))
+        .filter((F.size("gt_tables") > 0) & (F.size("pred_tables") > 0))
+        .select(
+            "doc_id",
+            F.element_at("gt_tables", 1).alias("gt_html"),
+            F.element_at("pred_tables", 1).alias("pred_html"),
+        )
+        # serialize both sides to brackets (the stored wire format)
+        .select(
+            "doc_id",
+            table_tree_stats_udf("gt_html").alias("ga"),
+            table_tree_stats_udf("pred_html").alias("gb"),
+        )
+        .select(
+            "doc_id",
+            F.col("ga.bracket").alias("bracket_a"),
+            F.col("gb.bracket").alias("bracket_b"),
+        )
+        .filter(F.col("bracket_a").isNotNull() & F.col("bracket_b").isNotNull())
+    )
+    return paired.select(
+        "doc_id",
+        F.round(teds_pair_bracket_udf("bracket_a", "bracket_b"), 6).alias("teds"),
+    )
+
+
 @query("teds_similarity_join")
 def teds_similarity_join(spark, sf_dir, threshold: float = 0.8):
     """Blocked TEDS similarity self-join over the corpus tables — the Spark

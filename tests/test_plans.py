@@ -264,3 +264,31 @@ def test_minhash_releases_signature_cache(spark):
     # other test modules legitimately cache fixtures in the shared session;
     # the query itself must not add any persistent RDDs
     assert after == before, f"minhash leaked {after - before} persisted RDDs"
+
+
+def test_teds_bracket_mode_agrees_with_html_mode(spark):
+    """The bracket input mode must score identically to the HTML mode on
+    the same first-table pairs (both reduce to teds_from_brackets)."""
+    from docling_metrics_spark.kernels.teds import (
+        html_to_bracket,
+        teds_from_brackets,
+    )
+    from docling_metrics_spark.datagen import gen_documents
+    from docling_metrics_spark.plans.queries import teds_bracket_pairs
+
+    got = {
+        r.doc_id: r.teds
+        for r in teds_bracket_pairs(spark, "/root/testdata/sf0.001").collect()
+    }
+    checked = 0
+    for d in gen_documents(500):
+        gts = [s["text"] for s in d["spans"] if s["kind"] == "table"]
+        prs = [s["text"] for s in d["pred_spans"] if s["kind"] == "table"]
+        if not gts or not prs or d["doc_id"] not in got:
+            continue
+        teds, _, _ = teds_from_brackets(
+            html_to_bracket(gts[0]), html_to_bracket(prs[0])
+        )
+        assert abs(got[d["doc_id"]] - round(teds, 6)) < 1e-9, d["doc_id"]
+        checked += 1
+    assert checked > 100
