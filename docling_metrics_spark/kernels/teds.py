@@ -63,6 +63,10 @@ class TableNode:
 # Bracket notation (wire format for trees in a STRING column)
 # ---------------------------------------------------------------------------
 
+# Deepest nesting accepted from ANY tree input (HTML or raw bracket wire
+# format) — see the parser note below.
+MAX_TABLE_DEPTH = 200
+
 _TAG_RE = re.compile(r'\s*"tag":\s*(\w+)')
 _SPAN_RE = re.compile(r'\s*,\s*"colspan":\s*(\d+)\s*,\s*"rowspan":\s*(\d+)')
 _TEXT_RE = re.compile(r'\s*,\s*"text":\s*(\[.*?\])(?=\s*[{}])', re.DOTALL)
@@ -103,7 +107,14 @@ def bracket_to_tree(s: str) -> TableNode:
     return node
 
 
-def _parse_node(s: str, pos: int) -> tuple[TableNode, int]:
+def _parse_node(s: str, pos: int, depth: int = 0) -> tuple[TableNode, int]:
+    if depth > MAX_TABLE_DEPTH:
+        # raw bracket strings are external wire-format input; cap nesting
+        # here too so hostile payloads surface as ValueError, not
+        # RecursionError (see MAX_TABLE_DEPTH)
+        raise ValueError(
+            f"bracket nesting deeper than {MAX_TABLE_DEPTH} levels"
+        )
     while pos < len(s) and s[pos].isspace():
         pos += 1
     if pos >= len(s) or s[pos] != "{":
@@ -145,7 +156,7 @@ def _parse_node(s: str, pos: int) -> tuple[TableNode, int]:
         if s[pos] == "}":
             return node, pos + 1
         if s[pos] == "{":
-            child, pos = _parse_node(s, pos)
+            child, pos = _parse_node(s, pos, depth + 1)
             node.children.append(child)
         else:
             raise ValueError(f"unexpected character {s[pos]!r} at position {pos}")
@@ -158,6 +169,14 @@ def _parse_node(s: str, pos: int) -> tuple[TableNode, int]:
 _STRUCTURAL_TAGS = {"table", "thead", "tbody", "tfoot", "tr", "caption", "colgroup", "col"}
 
 
+# Why the depth cap: downstream tree walks (size, serialization,
+# Zhang-Shasha) use Python recursion; without a cap one adversarial
+# document with thousands of nested <table> tags raises RecursionError —
+# which is NOT the ValueError the Arrow UDF error channels catch — and
+# kills the executor task. 200 is far beyond any real table and well
+# inside the default recursion limit.
+
+
 class _TableHTMLParser(HTMLParser):
     def __init__(self, structure_only: bool) -> None:
         super().__init__(convert_charrefs=True)
@@ -167,6 +186,10 @@ class _TableHTMLParser(HTMLParser):
         self._cell_depth = 0  # >0 while inside a td/th
 
     def handle_starttag(self, tag, attrs):
+        if len(self._stack) > MAX_TABLE_DEPTH:
+            raise ValueError(
+                f"table nesting deeper than {MAX_TABLE_DEPTH} levels"
+            )
         if tag in ("td", "th"):
             attr = dict(attrs)
             node = TableNode(

@@ -522,3 +522,20 @@ def test_cells_to_html_empty_and_header_alias():
         [{"row_nums": [0], "column_nums": [0], "header": True, "cell_text": "h"}]
     )
     assert "<th>h</th>" in h
+
+
+def test_deeply_nested_table_raises_value_error_not_recursion():
+    """Adversarially deep nesting must surface as ValueError (caught by the
+    UDF error channels), never RecursionError (which would kill the
+    executor task)."""
+    deep = "<table><tr><td>" * 2000 + "x" + "</td></tr></table>" * 2000
+    with pytest.raises(ValueError, match="nesting"):
+        T.html_to_bracket(deep)
+    # the cells path shares the parser, so it is protected too
+    from docling_metrics_spark.kernels.grits import html_to_cells
+
+    with pytest.raises(ValueError, match="nesting"):
+        html_to_cells(deep)
+    # moderately nested tables still parse
+    ok = "<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>"
+    assert T.html_to_bracket(ok)
