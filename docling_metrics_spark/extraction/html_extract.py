@@ -45,6 +45,12 @@ _WS_RE = re.compile(r"\s+")
 # A block is boilerplate when more than this fraction of its text is inside
 # links (link-density heuristic).
 LINK_RATIO_THRESHOLD = 0.5
+# DOM depth cap: beyond this, child elements are FLATTENED into their
+# ancestor instead of nesting (text is preserved). The scoring/emit walks
+# recurse over the tree; a hostile page with thousands of nested tags
+# would otherwise raise RecursionError inside the extraction UDF and kill
+# the task. 150 is far deeper than real content pages nest.
+MAX_DOM_DEPTH = 150
 # Minimum words for a text block to count as content (text-density floor).
 MIN_CONTENT_WORDS = 1
 
@@ -67,6 +73,7 @@ class _DOMBuilder(HTMLParser):
         self._drop_depth = 0
         self._raw_depth = 0  # inside <table>: keep raw HTML for canonical reserialization
         self._raw_parts: list[str] = []
+        self._suppress_depth = 0  # wrappers beyond MAX_DOM_DEPTH (transparent)
 
     def handle_starttag(self, tag, attrs):
         if self._drop_depth:
@@ -81,6 +88,21 @@ class _DOMBuilder(HTMLParser):
             return
         if tag in _DROP_TAGS:
             self._drop_depth = 1
+            return
+        if self._suppress_depth or (
+            len(self._stack) >= MAX_DOM_DEPTH
+            and tag != "table"
+            and tag not in _VOID_TAGS
+        ):
+            # wrapper beyond the depth cap: TRANSPARENT — no node, no push;
+            # text and void content (e.g. img) attach to the cap-level
+            # node, which stays a leaf block and still emits
+            # (see MAX_DOM_DEPTH)
+            if tag in _VOID_TAGS:
+                # void tags get no end tag: attach without counting
+                self._stack[-1].children.append(_Node(tag, dict(attrs)))
+                return
+            self._suppress_depth += 1
             return
         node = _Node(tag, dict(attrs))
         self._stack[-1].children.append(node)
@@ -97,6 +119,10 @@ class _DOMBuilder(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_endtag(self, tag):
+        if self._suppress_depth:
+            if tag not in _VOID_TAGS:
+                self._suppress_depth -= 1
+            return
         if self._drop_depth:
             if tag not in _VOID_TAGS:
                 self._drop_depth -= 1

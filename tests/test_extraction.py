@@ -80,3 +80,33 @@ def test_table_canonicalization_idempotent():
 def test_whitespace_normalization():
     html = "<body><p>  spaced\n\n   out\ttext  </p></body>"
     assert extract(html)[0]["text"] == "spaced out text"
+
+
+def test_adversarial_deep_nesting_degrades_gracefully():
+    """Thousands of nested wrappers must neither kill the task
+    (RecursionError) nor lose content: beyond MAX_DOM_DEPTH wrappers are
+    transparent, so text, images, and document order survive."""
+    from docling_metrics_spark.extraction.html_extract import (
+        extract_spans_from_html,
+    )
+
+    deep = (
+        "<html><body>" + "<div>" * 3000 + "hello world"
+        + "</div>" * 3000 + "</body></html>"
+    )
+    spans = extract_spans_from_html(deep)
+    assert [(s["kind"], s["text"]) for s in spans] == [("text", "hello world")]
+
+    ordered = (
+        "<html><body><p>before</p>" + "<div>" * 400 + "mid"
+        + "</div>" * 400 + "<p>after</p></body></html>"
+    )
+    texts = [s["text"] for s in extract_spans_from_html(ordered)]
+    assert texts == ["before", "mid", "after"]
+
+    with_img = (
+        "<html><body>" + "<div>" * 400 + '<img src="x.png">'
+        + "</div>" * 400 + "</body></html>"
+    )
+    spans = extract_spans_from_html(with_img)
+    assert [(s["kind"], s["media_ref"]) for s in spans] == [("image", "x.png")]
