@@ -244,10 +244,19 @@ def parse_extension(ext: str):
     return labels, m_sections, sg_sections
 
 
+# Largest molecule accepted: the fragment-matching and LCS atom-mapping
+# steps are O(n·m) in atom counts, so an adversarial multi-megabyte SMILES
+# would otherwise OOM the Arrow worker. Far beyond any real Markush input.
+MAX_ATOMS = 10_000
+
+
 def parse_cxsmiles(cxsmiles: str) -> Molecule | None:
-    """Parse a CXSMILES string → :class:`Molecule`, or None if malformed."""
+    """Parse a CXSMILES string → :class:`Molecule`, or None if malformed
+    or larger than :data:`MAX_ATOMS`."""
     m = re.match(r"^(.*?)\s*\|(.*)\|\s*$", cxsmiles, re.S)
     body, ext = (m.group(1), m.group(2)) if m else (cxsmiles.strip(), "")
+    if len(body) > 4 * MAX_ATOMS:  # cheap pre-screen before parsing
+        return None
     try:
         labels, m_sections, sg_sections = parse_extension(ext)
         frag_texts = split_top_level_dots(body)
@@ -257,6 +266,8 @@ def parse_cxsmiles(cxsmiles: str) -> Molecule | None:
             frag_atom_indices.append([a.idx for a in f_atoms])
             atoms.extend(f_atoms)
             bonds.extend(f_bonds)
+        if len(atoms) > MAX_ATOMS:
+            return None
         for pos, lab in labels.items():
             if pos < len(atoms):
                 atoms[pos].label = lab
