@@ -29,14 +29,26 @@ import numpy as np
 from docling_metrics_spark.kernels.layout import iou_matrix
 
 
+# Largest grid dimension accepted (rows or cols): the dense grid and the
+# 2D-MSS DP are O(rows·cols); a hostile colspan/rowspan attribute or cell
+# record would otherwise allocate gigabytes. Far beyond real tables.
+MAX_GRID_DIM = 1_000
+
+
 def cells_to_grid(cells: list[dict], field: str):
     """Dense (rows × cols) grid of per-cell values; None where empty.
 
-    field: 'text' | 'bbox' | 'relspan'."""
+    field: 'text' | 'bbox' | 'relspan'. Raises ValueError when a dimension
+    exceeds :data:`MAX_GRID_DIM` (hostile span values — the UDF error
+    channels catch ValueError)."""
     if not cells:
         return []
     n_rows = 1 + max(max(c["row_nums"]) for c in cells)
     n_cols = 1 + max(max(c["column_nums"]) for c in cells)
+    if n_rows > MAX_GRID_DIM or n_cols > MAX_GRID_DIM:
+        raise ValueError(
+            f"table grid {n_rows}x{n_cols} exceeds {MAX_GRID_DIM}"
+        )
     grid = [[None] * n_cols for _ in range(n_rows)]
     for c in cells:
         r0, r1 = min(c["row_nums"]), max(c["row_nums"])
@@ -203,8 +215,11 @@ def html_to_cells(html: str) -> list[dict]:
                 continue
             while occupied.get((r, c)):
                 c += 1
-            row_nums = list(range(r, r + cell.rowspan))
-            col_nums = list(range(c, c + cell.colspan))
+            # clamp hostile span attributes BEFORE expanding to ranges
+            rowspan = min(max(cell.rowspan or 1, 1), MAX_GRID_DIM)
+            colspan = min(max(cell.colspan or 1, 1), MAX_GRID_DIM)
+            row_nums = list(range(r, r + rowspan))
+            col_nums = list(range(c, c + colspan))
             for i in row_nums:
                 for j in col_nums:
                     occupied[(i, j)] = True
@@ -214,9 +229,9 @@ def html_to_cells(html: str) -> list[dict]:
                 "column_nums": col_nums,
                 "is_column_header": cell.header,
                 "bbox": [c * 100.0, r * 30.0,
-                         (c + cell.colspan) * 100.0, (r + cell.rowspan) * 30.0],
+                         (c + colspan) * 100.0, (r + rowspan) * 30.0],
             })
-            c += cell.colspan
+            c += colspan
     return cells
 
 

@@ -539,3 +539,27 @@ def test_deeply_nested_table_raises_value_error_not_recursion():
     # moderately nested tables still parse
     ok = "<table><tr><td><table><tr><td>x</td></tr></table></td></tr></table>"
     assert T.html_to_bracket(ok)
+
+
+def test_hostile_span_attributes_bounded():
+    """A colspan/rowspan bomb must neither hang nor allocate gigabytes:
+    html parsing clamps spans, and grids reject dimensions beyond
+    MAX_GRID_DIM with ValueError (caught by the UDF error channels)."""
+    from docling_metrics_spark.kernels.grits import (
+        MAX_GRID_DIM,
+        cells_to_grid,
+        html_to_cells,
+    )
+
+    cells = html_to_cells(
+        '<table><tr><td colspan="1000000000" rowspan="999999">x</td></tr></table>'
+    )
+    assert len(cells[0]["column_nums"]) == MAX_GRID_DIM
+    assert len(cells[0]["row_nums"]) == MAX_GRID_DIM
+
+    with pytest.raises(ValueError, match="exceeds"):
+        cells_to_grid(
+            [{"row_nums": [10**9], "column_nums": [0], "cell_text": "x",
+              "bbox": [0, 0, 1, 1]}],
+            "text",
+        )
