@@ -264,6 +264,8 @@ def cells_to_html(cells: list[dict]) -> str:
         by_row.setdefault(c["row_nums"][0], []).append(c)
 
     n_rows = max(c["row_nums"][-1] for c in norm) + 1
+    if n_rows > MAX_GRID_DIM:
+        raise ValueError(f"table rows {n_rows} exceed {MAX_GRID_DIM}")
     out = ["<table><tbody>"]
     for r in range(n_rows):
         out.append("<tr>")
