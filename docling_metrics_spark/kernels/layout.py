@@ -170,6 +170,12 @@ def evaluate_map(
     """
     classes = sorted({c for c, _ in gt} | {c for c, _, _ in pred})
     sent = -1.0
+    # predictions are truncated to max_det per class below, but GT is
+    # unbounded input: a hostile document with millions of boxes would
+    # allocate a gigabyte IoU matrix — refuse with ValueError (the UDF
+    # wrapper emits the sentinel row instead of killing the task)
+    if len(gt) + len(pred) > 100_000:
+        raise ValueError(f"too many boxes: {len(gt)} gt + {len(pred)} pred")
     if not classes:
         return {
             "map": sent, "map_50": sent, "map_75": sent,

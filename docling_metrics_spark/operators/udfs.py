@@ -189,7 +189,17 @@ def _boxes_to_tuples(boxes) -> tuple[list, list]:
 
 @F.pandas_udf(MAP_TYPE)
 def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
-    """Per-document COCO mAP over layout boxes."""
+    """Per-document COCO mAP over layout boxes. Documents the kernel
+    refuses (hostile box counts) emit the -1.0 sentinel row instead of
+    failing the task."""
+    sentinel = {
+        k: -1.0
+        for k in ("map", "map_50", "map_75", "map_small", "map_medium",
+                  "map_large", "mar_1", "mar_10", "mar_100", "mar_small",
+                  "mar_medium", "mar_large")
+    }
+    sentinel["map_per_class"] = {}
+    sentinel["mar_100_per_class"] = {}
     rows = []
     for g, p in zip(gt_boxes, pred_boxes):
         gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
@@ -197,7 +207,10 @@ def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
             (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
             for b in (p if p is not None else [])
         ]
-        rows.append(evaluate_map(gt, pr))
+        try:
+            rows.append(evaluate_map(gt, pr))
+        except ValueError:
+            rows.append(dict(sentinel))
     return pd.DataFrame(rows)
 
 
