@@ -1,0 +1,102 @@
+"""Cross-kernel fuzz: every Arrow-batch kernel must, on arbitrary input,
+either return a result or raise ValueError (the error-channel contract) —
+never RecursionError / MemoryError / unbounded time. One bad row must
+degrade one row, not the task (see README scale notes)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+import docling_metrics_spark.kernels.teds as T
+from docling_metrics_spark.extraction.html_extract import extract_spans_from_html
+from docling_metrics_spark.kernels.grits import grits_all, html_to_cells
+from docling_metrics_spark.kernels.minhash import simhash
+from docling_metrics_spark.kernels.textmetrics import evaluate_text_pair
+
+html_soup = st.text(
+    alphabet=st.sampled_from(list("<>/tabledivrspn=\"'0123456789 xyz&#;")),
+    max_size=200,
+)
+
+
+@given(html_soup)
+@settings(max_examples=120, deadline=None)
+def test_extraction_never_crashes(s):
+    spans = extract_spans_from_html(s)
+    assert isinstance(spans, list)
+
+
+@given(html_soup)
+@settings(max_examples=120, deadline=None)
+def test_table_parsers_raise_only_value_error(s):
+    for fn in (T.html_to_bracket, html_to_cells):
+        try:
+            fn(s)
+        except ValueError:
+            pass
+
+
+@given(
+    st.text(alphabet=st.sampled_from(list('{}tagd:", []0123456789x')), max_size=120)
+)
+@settings(max_examples=120, deadline=None)
+def test_bracket_parser_raises_only_value_error(s):
+    try:
+        T.bracket_to_tree(s)
+    except ValueError:
+        pass
+
+
+@given(st.text(max_size=150), st.text(max_size=150))
+@settings(max_examples=100, deadline=None)
+def test_text_metrics_never_crash(a, b):
+    scores = evaluate_text_pair(a, b)
+    assert -1.0 <= scores.edit_distance_score <= 1.0 or scores.edit_distance_score == -1.0
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_simhash_total(s):
+    assert 0 <= simhash(s.split()) < 1 << 64
+
+
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "row_nums": st.lists(
+                    st.integers(0, 30), min_size=1, max_size=3
+                ),
+                "column_nums": st.lists(
+                    st.integers(0, 30), min_size=1, max_size=3
+                ),
+                "cell_text": st.text(max_size=10),
+                "bbox": st.lists(
+                    st.floats(0, 100, allow_nan=False), min_size=4, max_size=4
+                ),
+            }
+        ),
+        max_size=6,
+    ),
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "row_nums": st.lists(
+                    st.integers(0, 30), min_size=1, max_size=3
+                ),
+                "column_nums": st.lists(
+                    st.integers(0, 30), min_size=1, max_size=3
+                ),
+                "cell_text": st.text(max_size=10),
+                "bbox": st.lists(
+                    st.floats(0, 100, allow_nan=False), min_size=4, max_size=4
+                ),
+            }
+        ),
+        max_size=6,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_grits_on_arbitrary_cells(cells_a, cells_b):
+    r = grits_all(cells_a, cells_b)
+    for v in r.values():
+        assert 0.0 <= v <= 1.0
