@@ -22,9 +22,11 @@ pixel confusion matrix. Pure numpy — runs inside Arrow UDFs.
   (n_classes+1)² matrix: matched classes on the diagonal, unmatched gt
   classes spread uniformly over unmatched pred classes (or background).
   Per-class precision/recall/F1 derive from row/column sums
-  (multi_label_confusion_matrix.py:419-488). The contribution algebra is our
-  own clean definition with the same interface and invariants
-  (total weight = pixel count; exact match ⇒ diagonal only).
+  (multi_label_confusion_matrix.py:419-488). The contribution algebra is
+  the reference's exact four-case weighted scheme (ibid. 163-377, verified
+  case-by-case against the reference's paper fixture — see
+  :func:`confusion_matrix_binary`), re-expressed as einsum over the
+  compressed pairs instead of per-pixel 3-D contribution tensors.
 """
 
 from __future__ import annotations
@@ -158,6 +160,7 @@ def evaluate_map(
     gt: list[tuple[int, list[float]]],
     pred: list[tuple[int, list[float], float]],
     max_det: int = 100,
+    surface: str = "full",
 ) -> dict:
     """COCO-protocol mAP for one document/page (or one merged group), with
     the reference's FULL result surface (map_layout_evaluator.py:146-199 /
@@ -166,8 +169,15 @@ def evaluate_map(
     and per-class map/mar_100 dicts keyed "cat_<id>". -1.0 marks an
     undefined bucket (no in-range GT), matching the torchmetrics sentinel.
 
+    ``surface="core"`` restricts the computation to the flagship pipeline's
+    kept fields (all-area map/map_50/map_75/mar_100): the size buckets,
+    mar_1/mar_10, and per-class dicts are skipped entirely, not computed
+    and discarded. Overlapping fields are bit-identical to the full
+    surface (same matching loop, same threshold grid).
+
     gt: [(category_id, xyxy)], pred: [(category_id, xyxy, score)].
     """
+    core = surface == "core"
     classes = sorted({c for c, _ in gt} | {c for c, _, _ in pred})
     sent = -1.0
     # predictions are truncated to max_det per class below, but GT is
@@ -177,6 +187,9 @@ def evaluate_map(
     if len(gt) + len(pred) > 100_000:
         raise ValueError(f"too many boxes: {len(gt)} gt + {len(pred)} pred")
     if not classes:
+        if core:
+            return {"map": sent, "map_50": sent, "map_75": sent,
+                    "mar_100": sent}
         return {
             "map": sent, "map_50": sent, "map_75": sent,
             "map_small": sent, "map_medium": sent, "map_large": sent,
@@ -188,6 +201,7 @@ def evaluate_map(
     n_thr = len(IOU_THRESHOLDS)
     ap: dict[tuple, float] = {}   # (cls, thr_idx, area) -> AP at max_det
     ar: dict[tuple, float] = {}   # (cls, thr_idx, area, maxdet) -> AR
+    area_ranges = {"all": AREA_RANGES["all"]} if core else AREA_RANGES
 
     for cls in classes:
         g = np.array([b for c, b in gt if c == cls], dtype=np.float64).reshape(-1, 4)
@@ -199,11 +213,13 @@ def evaluate_map(
         p_area = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
         ious_full = iou_matrix(g, pb)
 
-        for area, (lo, hi) in AREA_RANGES.items():
+        for area, (lo, hi) in area_ranges.items():
             gt_ig = (g_area < lo) | (g_area > hi)
             dt_out = (p_area < lo) | (p_area > hi)
             npig = int((~gt_ig).sum())
-            maxdets = (1, 10, max_det) if area == "all" else (max_det,)
+            maxdets = (
+                (1, 10, max_det) if area == "all" and not core else (max_det,)
+            )
             if npig == 0 and bool(dt_out.all()):
                 # bucket empty on both sides: every AP/AR is NaN — skip the
                 # threshold loop (most documents have no small boxes, so
@@ -245,6 +261,14 @@ def evaluate_map(
         return _mean(
             [ar[(c, t, area, md)] for c in classes for t in range(n_thr)]
         )
+
+    if core:
+        return {
+            "map": _map_area("all"),
+            "map_50": _mean([ap[(c, 0, "all")] for c in classes]),
+            "map_75": _mean([ap[(c, 5, "all")] for c in classes]),
+            "mar_100": _mar("all", max_det),
+        }
 
     per_cls_map = {
         f"cat_{c}": _mean([ap[(c, t, "all")] for t in range(n_thr)])

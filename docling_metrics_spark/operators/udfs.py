@@ -76,6 +76,10 @@ TEDS_DOC_TYPE = StructType(
 
 # Full reference result surface (map_layout_evaluator.py:146-199 /
 # torchmetrics MeanAveragePrecision): -1.0 = undefined bucket sentinel.
+# Per-class dicts are emitted as KEY-SORTED JSON strings, not MapType:
+# map columns are unhashable in pandas and crash generic row
+# canonicalizers downstream (VERDICT r2 #1) — a deterministic string
+# carries the same information and sorts/hashes like any scalar.
 MAP_TYPE = StructType(
     [
         StructField("map", DoubleType()),
@@ -90,10 +94,30 @@ MAP_TYPE = StructType(
         StructField("mar_small", DoubleType()),
         StructField("mar_medium", DoubleType()),
         StructField("mar_large", DoubleType()),
-        StructField("map_per_class", MapType(StringType(), DoubleType())),
-        StructField("mar_100_per_class", MapType(StringType(), DoubleType())),
+        StructField("map_per_class", StringType()),
+        StructField("mar_100_per_class", StringType()),
     ]
 )
+
+# Core surface for the flagship hot path: only the fields the pipeline
+# keeps (all-area map/50/75 + mar_100). Catalyst cannot prune inside a
+# pandas UDF, so the pruning happens here — the kernel skips the
+# small/medium/large buckets, mar_1/10, and per-class dicts entirely.
+MAP_CORE_TYPE = StructType(
+    [
+        StructField("map", DoubleType()),
+        StructField("map_50", DoubleType()),
+        StructField("map_75", DoubleType()),
+        StructField("mar_100", DoubleType()),
+    ]
+)
+
+
+def _sorted_json(d: dict) -> str:
+    """Deterministic key-sorted compact JSON for per-class dict columns."""
+    import json
+
+    return json.dumps(d, sort_keys=True, separators=(",", ":"))
 
 GRITS_TYPE = StructType(
     [
@@ -198,8 +222,8 @@ def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
                   "map_large", "mar_1", "mar_10", "mar_100", "mar_small",
                   "mar_medium", "mar_large")
     }
-    sentinel["map_per_class"] = {}
-    sentinel["mar_100_per_class"] = {}
+    sentinel["map_per_class"] = "{}"
+    sentinel["mar_100_per_class"] = "{}"
     rows = []
     for g, p in zip(gt_boxes, pred_boxes):
         gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
@@ -208,7 +232,32 @@ def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
             for b in (p if p is not None else [])
         ]
         try:
-            rows.append(evaluate_map(gt, pr))
+            m = evaluate_map(gt, pr)
+            m["map_per_class"] = _sorted_json(m["map_per_class"])
+            m["mar_100_per_class"] = _sorted_json(m["mar_100_per_class"])
+            rows.append(m)
+        except ValueError:
+            rows.append(dict(sentinel))
+    return pd.DataFrame(rows)
+
+
+@F.pandas_udf(MAP_CORE_TYPE)
+def map_core_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
+    """Core-surface per-document mAP for the flagship pipeline: the kernel
+    computes ONLY all-area map/map_50/map_75/mar_100 (surface="core"),
+    skipping the size buckets, mar_1/10, and per-class dicts the pipeline
+    would throw away (VERDICT r2 #3). Values are bit-identical to the full
+    surface's overlapping fields (pinned in tests/test_kernels.py)."""
+    sentinel = {k: -1.0 for k in ("map", "map_50", "map_75", "mar_100")}
+    rows = []
+    for g, p in zip(gt_boxes, pred_boxes):
+        gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
+        pr = [
+            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
+            for b in (p if p is not None else [])
+        ]
+        try:
+            rows.append(evaluate_map(gt, pr, surface="core"))
         except ValueError:
             rows.append(dict(sentinel))
     return pd.DataFrame(rows)
@@ -398,9 +447,10 @@ def make_tore_final_udf(n_classes: int):
                 StructField("collapsed_precision_mean", DoubleType()),
                 StructField("collapsed_recall_mean", DoubleType()),
                 StructField("collapsed_f1_mean", DoubleType()),
-                StructField("classes_precision", MapType(StringType(), DoubleType())),
-                StructField("classes_recall", MapType(StringType(), DoubleType())),
-                StructField("classes_f1", MapType(StringType(), DoubleType())),
+                # key-sorted JSON strings, not MapType (VERDICT r2 #1)
+                StructField("classes_precision", StringType()),
+                StructField("classes_recall", StringType()),
+                StructField("classes_f1", StringType()),
                 StructField("total_weight", DoubleType()),
             ]
         )
@@ -423,7 +473,9 @@ def make_tore_final_udf(n_classes: int):
             m["collapsed_precision_mean"] = collapsed["precision_mean"]
             m["collapsed_recall_mean"] = collapsed["recall_mean"]
             m["collapsed_f1_mean"] = collapsed["f1_mean"]
-            m.update(confusion_per_class(cm))
+            m.update(
+                {k: _sorted_json(v) for k, v in confusion_per_class(cm).items()}
+            )
             m["total_weight"] = float(cm.sum())
             rows.append(m)
         return pd.DataFrame(rows)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from docling_metrics_spark.operators.skew import salted_agg
 from docling_metrics_spark.operators.udfs import (
     extract_spans_udf,
-    map_doc_udf,
+    map_core_doc_udf,
     teds_doc_udf,
     text_scores_udf,
 )
@@ -75,7 +75,10 @@ def score_documents(docs: DataFrame) -> DataFrame:
         .withColumn("pred_tables", _table_htmls("pred_spans"))
         .withColumn("text_scores", text_scores_udf("gt_text", "pred_text"))
         .withColumn("teds", teds_doc_udf("gt_tables", "pred_tables"))
-        .withColumn("layout", map_doc_udf("gt_boxes", "pred_boxes"))
+        # core surface: only the fields kept below are computed — Catalyst
+        # cannot prune inside a pandas UDF, so the kernel prunes itself
+        # (the full-surface twin map_doc_udf serves the layout_map query)
+        .withColumn("layout", map_core_doc_udf("gt_boxes", "pred_boxes"))
     )
     return scored.select(
         "doc_id",

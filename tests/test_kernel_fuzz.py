@@ -100,3 +100,60 @@ def test_grits_on_arbitrary_cells(cells_a, cells_b):
     r = grits_all(cells_a, cells_b)
     for v in r.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_map_udf_hostile_box_count_degrades_one_row(spark):
+    """evaluate_map's 100k-box refusal must surface END-TO-END through
+    map_doc_udf as the -1.0 sentinel row — one hostile document degrades
+    one row, never the task (VERDICT r2 #8). The healthy sibling row in
+    the same Arrow batch scores normally."""
+    from pyspark.sql import functions as F
+
+    from docling_metrics_spark.operators.udfs import (
+        map_core_doc_udf,
+        map_doc_udf,
+    )
+
+    def boxes(n, with_score):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.struct(
+                F.pmod(i, F.lit(5)).cast("int").alias("category_id"),
+                F.array(
+                    F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0)
+                ).alias("bbox"),
+                *(
+                    [(i.cast("double") / 1e6).alias("score")]
+                    if with_score
+                    else []
+                ),
+            ),
+        )
+
+    df = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, boxes(60_000, False))
+        .otherwise(boxes(1, False))
+        .alias("gt_boxes"),
+        F.when(F.col("id") == 0, boxes(60_000, True))
+        .otherwise(boxes(1, True))
+        .alias("pred_boxes"),
+    ).repartition(1)
+
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", map_doc_udf("gt_boxes", "pred_boxes").alias("m")
+        ).select("doc_id", "m.*").collect()
+    }
+    assert rows[0].map == -1.0 and rows[0].mar_100 == -1.0
+    assert rows[0].map_per_class == "{}"  # sentinel JSON, not a crash
+    assert rows[1].map == 1.0  # healthy doc in the same batch unaffected
+
+    core = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", map_core_doc_udf("gt_boxes", "pred_boxes").alias("m")
+        ).select("doc_id", "m.*").collect()
+    }
+    assert core[0].map == -1.0 and core[1].map == 1.0

@@ -482,6 +482,39 @@ def test_map_pred_only_class_sentinel():
     assert r["map_per_class"]["cat_7"] == -1.0
 
 
+def test_map_core_surface_matches_full():
+    """surface="core" (the flagship hot path) must equal the full surface
+    on every overlapping field — the kernel prunes work, never changes
+    numbers (VERDICT r2 #2 done-criterion)."""
+    import random
+
+    rng = random.Random(1234)
+    checked = 0
+    for _ in range(60):
+        gt = []
+        pred = []
+        for _ in range(rng.randint(0, 8)):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 600)
+            gt.append((rng.randint(0, 4),
+                       [x, y, x + rng.uniform(1, 250), y + rng.uniform(1, 250)]))
+        for _ in range(rng.randint(0, 10)):
+            x, y = rng.uniform(0, 500), rng.uniform(0, 600)
+            pred.append((rng.randint(0, 4),
+                         [x, y, x + rng.uniform(1, 250), y + rng.uniform(1, 250)],
+                         rng.random()))
+        full = evaluate_map(gt, pred)
+        core = evaluate_map(gt, pred, surface="core")
+        assert set(core) == {"map", "map_50", "map_75", "mar_100"}
+        for k in core:
+            assert core[k] == full[k], (k, core[k], full[k])
+        checked += 1
+    assert checked == 60
+    # empty-input sentinel shape agrees too
+    assert evaluate_map([], [], surface="core") == {
+        "map": -1.0, "map_50": -1.0, "map_75": -1.0, "mar_100": -1.0
+    }
+
+
 def test_cells_to_html_roundtrip_fixed_point():
     """cells→html→cells is a fixed point on topology, header flags, and
     text (reference cells_to_html contract, grits.py:425-485)."""

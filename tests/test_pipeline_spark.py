@@ -256,3 +256,55 @@ def test_dataset_map_matches_local(spark):
     for cls, (m, r100) in per_cls.items():
         assert abs(m - want["map_per_class"][f"cat_{cls}"]) < 1e-9
         assert abs(r100 - want["mar_100_per_class"][f"cat_{cls}"]) < 1e-9
+
+
+def test_dataset_map_single_doc_equals_per_doc(spark):
+    """On a one-document corpus the pooled dataset path must equal the
+    per-document full surface field-by-field (VERDICT r2 #6) — the same
+    consistency pattern the reference's benchmark doubles as
+    (edit_distance_benchmark.py:90-102). Dataset values are rounded to 6
+    decimals in-query, hence the 1e-6 tolerance."""
+    import json
+
+    from docling_metrics_spark.operators.udfs import map_doc_udf
+    from docling_metrics_spark.plans.queries import _dataset_map_df
+
+    one = (
+        generate_documents_df(spark, 30)
+        .filter((F.size("gt_boxes") > 0) & (F.size("pred_boxes") > 0))
+        .orderBy("doc_id")
+        .limit(1)
+        .cache()
+    )
+    assert one.count() == 1
+
+    per = (
+        one.select(map_doc_udf("gt_boxes", "pred_boxes").alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    ds = _dataset_map_df(one).collect()[0]
+
+    for k in ("map", "map_50", "map_75", "map_small", "map_medium",
+              "map_large", "mar_1", "mar_10", "mar_100", "mar_small",
+              "mar_medium", "mar_large"):
+        want = per[k]
+        got = ds[k]
+        if want == -1.0:  # per-doc sentinel ⇔ dataset null (empty pool)
+            assert got is None, (k, got)
+        else:
+            assert got is not None and abs(got - want) < 1.01e-6, (k, got, want)
+
+    for col in ("map_per_class", "mar_100_per_class"):
+        want_d = json.loads(per[col])
+        got_d = json.loads(ds[col])
+        assert set(want_d) == set(got_d), col
+        for cat, want in want_d.items():
+            got = got_d[cat]
+            if want == -1.0:
+                assert got is None, (col, cat, got)
+            else:
+                assert got is not None and abs(got - want) < 1.01e-6, (
+                    col, cat, got, want
+                )
+    one.unpersist()

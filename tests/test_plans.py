@@ -160,7 +160,7 @@ def test_ivf_ann_recall_vs_bruteforce_topk(spark):
     """IVF (k-means coarse quantizer + nprobe probing) must recover most of
     the brute-force top-5 neighbors for the query vectors."""
     from docling_metrics_spark.plans.queries import (
-        embedding_ivf_topk,
+        _ivf_topk_df,
         embedding_topk,
     )
 
@@ -169,7 +169,7 @@ def test_ivf_ann_recall_vs_bruteforce_topk(spark):
         (r.qid, r.vec_id) for r in embedding_topk(spark, sf).collect()
     }
     ivf = {
-        (r.qid, r.vec_id) for r in embedding_ivf_topk(spark, sf).collect()
+        (r.qid, r.vec_id) for r in _ivf_topk_df(spark, sf).collect()
     }
     assert exact, "brute-force oracle empty — fixture drifted"
     recall = len(ivf & exact) / len(exact)
@@ -222,12 +222,12 @@ def test_lsh_topk_plan_has_no_python_nodes(spark):
     the self-join (fixed in round 2)."""
     from docling_metrics_spark.plans.queries import (
         _lsh_sigs_table,
-        embedding_lsh_topk,
+        _lsh_topk_df,
     )
 
     sf = "/root/testdata/sf0.001"
     _lsh_sigs_table(spark, sf).count()  # index build (prep)
-    plan = embedding_lsh_topk(spark, sf)._jdf.queryExecution().explainString(
+    plan = _lsh_topk_df(spark, sf)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
@@ -292,3 +292,15 @@ def test_teds_bracket_mode_agrees_with_html_mode(spark):
         assert abs(got[d["doc_id"]] - round(teds, 6)) < 1e-9, d["doc_id"]
         checked += 1
     assert checked > 100
+
+
+def test_registry_fits_driver_window():
+    """The driver's correctness gate records only the first 50 registered
+    queries (VERDICT r2 #2): the registry must stay ≤50 so EVERY query gets
+    a correctness row, and every oracle must belong to a registered query."""
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert len(qs) <= 50, f"registry grew to {len(qs)} — driver checks 50"
+    assert set(oracles) <= set(qs)

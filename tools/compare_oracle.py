@@ -78,6 +78,21 @@ def main():
             fail += 1
             continue
         dt = time.time() - t0
+        # The driver's rows canonicalizer sorts/hashes every cell: nested
+        # values (MapType/ArrayType/StructType) are unhashable in pandas and
+        # crash it (VERDICT r2 #1) — flag them HERE, before the driver does.
+        nested = {
+            columns_name
+            for r in rows
+            for columns_name, v in zip(cols, r)
+            if isinstance(v, (dict, list, tuple, set, bytearray))
+            or type(v).__module__ == "numpy" and getattr(v, "ndim", 0) > 0
+        }
+        if nested:
+            print(f"FAIL  {name}: nested output columns {sorted(nested)} "
+                  "(driver canonicalizer cannot hash these)")
+            fail += 1
+            continue
         if name not in oracles:
             print(f"rows  {name}: {len(rows)} rows ({dt:.1f}s, no oracle)")
             ok += 1
