@@ -156,6 +156,63 @@ def _ap_ar_from_match(
     return average_precision(tp, npig), float(tp.sum() / npig)
 
 
+def _match_all_thresholds(ious: np.ndarray) -> np.ndarray:
+    """Greedy COCO matching for ALL IoU thresholds in one dt pass, for the
+    no-ignore case (area="all" with every box in range — the core surface).
+
+    Semantics are bit-identical to running :func:`_match_with_ignore` per
+    threshold with no ignored GT: dts in descending-score order claim the
+    max-IoU unmatched GT with IoU ≥ thr, equal-IoU ties going to the LAST
+    GT index. Vectorizing the threshold axis turns the T×D×G Python loop
+    into D passes of [T,G] numpy ops — ~2× on typical documents and ~20×
+    on skew-giant pages where G is in the hundreds.
+
+    Returns bool TP flags [T, D] in dt order."""
+    n_gt, n_dt = ious.shape
+    n_thr = len(IOU_THRESHOLDS)
+    tp = np.zeros((n_thr, n_dt), dtype=bool)
+    if n_gt == 0 or n_dt == 0:
+        return tp
+    thr_col = IOU_THRESHOLDS[:, None]  # [T,1]
+    taken = np.zeros((n_thr, n_gt), dtype=bool)
+    rows = ious.T  # [D,G]
+    t_idx = np.arange(n_thr)
+    for d in range(n_dt):
+        row = rows[d]
+        masked = np.where((row[None, :] >= thr_col) & ~taken, row[None, :], -1.0)
+        # last argmax (ties → highest GT index), matching the loop's
+        # `>=` replacement rule
+        sel = (n_gt - 1) - np.argmax(masked[:, ::-1], axis=1)
+        ok = masked[t_idx, sel] > -1.0
+        taken[ok, sel[ok]] = True
+        tp[ok, d] = True
+    return tp
+
+
+def _ap_all_thresholds(tp: np.ndarray, n_gt: int) -> np.ndarray:
+    """101-point interpolated AP for every threshold at once: the batched
+    twin of :func:`average_precision` over TP flags [T, D] (dt order =
+    descending score). Returns AP [T]; caller guards n_gt == 0."""
+    n_thr, n_dt = tp.shape
+    if n_dt == 0:
+        return np.zeros(n_thr)
+    tp_cum = np.cumsum(tp, axis=1)
+    fp_cum = np.cumsum(~tp, axis=1)
+    recall = tp_cum / n_gt
+    precision = tp_cum / (tp_cum + fp_cum)
+    precision = np.maximum.accumulate(precision[:, ::-1], axis=1)[:, ::-1]
+    # first dt index where recall ≥ each of the 101 points (searchsorted
+    # batched via argmax over a [T, D, 101] comparison)
+    ge = recall[:, :, None] >= RECALL_POINTS[None, None, :]
+    idx = ge.argmax(axis=1)
+    prec_at = np.where(
+        ge.any(axis=1),
+        np.take_along_axis(precision, np.minimum(idx, n_dt - 1), axis=1),
+        0.0,
+    )
+    return prec_at.mean(axis=1)
+
+
 def evaluate_map(
     gt: list[tuple[int, list[float]]],
     pred: list[tuple[int, list[float], float]],
@@ -212,6 +269,23 @@ def evaluate_map(
         g_area = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
         p_area = (pb[:, 2] - pb[:, 0]) * (pb[:, 3] - pb[:, 1])
         ious_full = iou_matrix(g, pb)
+
+        if core:
+            # no-ignore fast path: the "all" area range ignores nothing, so
+            # matching + AP batch across the whole threshold axis
+            npig = len(g)
+            if npig == 0:
+                for ti in range(n_thr):
+                    ap[(cls, ti, "all")] = float("nan")
+                    ar[(cls, ti, "all", max_det)] = float("nan")
+                continue
+            tp_all = _match_all_thresholds(ious_full)
+            ap_t = _ap_all_thresholds(tp_all, npig)
+            rec_t = tp_all.sum(axis=1) / npig
+            for ti in range(n_thr):
+                ap[(cls, ti, "all")] = float(ap_t[ti])
+                ar[(cls, ti, "all", max_det)] = float(rec_t[ti])
+            continue
 
         for area, (lo, hi) in area_ranges.items():
             gt_ig = (g_area < lo) | (g_area > hi)

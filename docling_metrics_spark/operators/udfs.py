@@ -170,14 +170,31 @@ def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
         }
     scores: list[float] = []
     errors = 0
+    # Per-document bracket memo: an unperturbed prediction table is the
+    # same HTML string as its GT twin, so the (expensive) HTML parse runs
+    # once per distinct table instead of once per pair side. ValueError is
+    # memoized as None so the error-sentinel semantics are unchanged.
+    brackets: dict[str, str | None] = {}
+
+    def _bracket(html: str) -> str | None:
+        if html not in brackets:
+            try:
+                brackets[html] = to_bracket(html)
+            except ValueError:
+                brackets[html] = None
+        return brackets[html]
+
     for i in range(n):
         if i >= len(gt_tables) or i >= len(pred_tables):
             scores.append(0.0)
             continue
+        ba, bb = _bracket(gt_tables[i]), _bracket(pred_tables[i])
+        if ba is None or bb is None:
+            errors += 1
+            scores.append(0.0)
+            continue
         try:
-            teds, _, _ = teds_from_brackets(
-                to_bracket(gt_tables[i]), to_bracket(pred_tables[i])
-            )
+            teds, _, _ = teds_from_brackets(ba, bb)
             scores.append(teds)
         except ValueError:
             errors += 1
@@ -260,6 +277,68 @@ def map_core_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame
             rows.append(evaluate_map(gt, pr, surface="core"))
         except ValueError:
             rows.append(dict(sentinel))
+    return pd.DataFrame(rows)
+
+
+# Fused flagship surface: extraction + all three metric families from ONE
+# Arrow crossing. Four chained ArrowEvalPython stages each pay their own
+# worker pool, Arrow serialization, and carried-through columns — and the
+# extracted span array crossed the boundary twice (Python→JVM for the
+# equality check, JVM→Python again as derived text). Fusing keeps the
+# per-batch Python work identical (~5 ms/doc) while paying the boundary
+# once; measured ~2× on the flagship wall at sf0.1.
+FLAGSHIP_TYPE = StructType(
+    [StructField("extracted", SPANS_TYPE)]
+    + list(TEXT_SCORES_TYPE.fields)
+    + list(TEDS_DOC_TYPE.fields)
+    + list(MAP_CORE_TYPE.fields)
+)
+
+
+@F.pandas_udf(FLAGSHIP_TYPE)
+def flagship_doc_udf(
+    raw_html: pd.Series,
+    pred_text: pd.Series,
+    pred_tables: pd.Series,
+    gt_boxes: pd.Series,
+    pred_boxes: pd.Series,
+) -> pd.DataFrame:
+    """One-pass flagship scoring: HTML → spans, then text/TEDS/mAP-core
+    against the JVM-pruned prediction columns. The extracted spans are
+    returned for the JVM-native ``eqNullSafe`` span-sequence equality check;
+    gt-side text/tables are derived here (same ordering semantics as the
+    JVM ``_span_text``/``_table_htmls``: non-null-text spans sorted by
+    offset, space-joined; table spans sorted by offset)."""
+    map_sentinel = {k: -1.0 for k in ("map", "map_50", "map_75", "mar_100")}
+    rows = []
+    for html, ptxt, ptabs, g, p in zip(
+        raw_html, pred_text, pred_tables, gt_boxes, pred_boxes
+    ):
+        extracted = extract_spans_from_html(html if html is not None else "")
+        by_offset = sorted(
+            (s for s in extracted if s["text"] is not None),
+            key=lambda s: s["offset"],
+        )
+        gt_text = " ".join(s["text"] for s in by_offset)
+        gt_tables = [s["text"] for s in by_offset if s["kind"] == "table"]
+        row: dict = {"extracted": extracted}
+        row.update(
+            evaluate_text_pair(gt_text, ptxt if ptxt is not None else "").__dict__
+        )
+        row.update(_doc_teds(gt_tables, ptabs))
+        gt = [
+            (int(b["category_id"]), list(b["bbox"]))
+            for b in (g if g is not None else [])
+        ]
+        pr = [
+            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
+            for b in (p if p is not None else [])
+        ]
+        try:
+            row.update(evaluate_map(gt, pr, surface="core"))
+        except ValueError:
+            row.update(map_sentinel)
+        rows.append(row)
     return pd.DataFrame(rows)
 
 

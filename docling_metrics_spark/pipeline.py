@@ -4,16 +4,18 @@ Dataflow (all narrow until the final aggregation — zero shuffles before the
 agg, which is the 100 TB design point):
 
     documents(doc_id, spans, raw_html, pred_spans, gt_boxes, pred_boxes)
-      │  extract_spans_udf(raw_html)            [Arrow UDF, narrow]
+      │  pred text/tables pruned JVM-side       [filter/transform/array_join]
+      │  flagship_doc_udf: extract + text       [ONE fused Arrow UDF, narrow]
+      │    + TEDS + mAP-core in one crossing
       ├─ extracted == spans                     [JVM array<struct> equality]
-      │  text metrics over span text            [Arrow UDF, narrow]
-      │  TEDS over table spans                  [Arrow UDF, narrow]
-      │  mAP over layout boxes                  [Arrow UDF, narrow]
       └─ salted two-stage aggregation           [the only shuffle]
 
-Span text is concatenated JVM-side (filter + transform + array_join on the
-spans array) so only the strings the kernels need cross the Arrow boundary
-— nested-column pruning by construction.
+Prediction span text is concatenated JVM-side (filter + transform +
+array_join on the spans array) so only the strings the kernels need cross
+the Arrow boundary — nested-column pruning by construction. The four metric
+stages are fused into a single pandas UDF: same per-doc kernel work, one
+Arrow crossing and one Python worker pool instead of four (the extracted
+span array previously crossed the boundary twice).
 """
 
 from __future__ import annotations
@@ -23,9 +25,7 @@ from pyspark.sql import DataFrame, functions as F
 from docling_metrics_spark.operators.skew import salted_agg
 from docling_metrics_spark.operators.udfs import (
     extract_spans_udf,
-    map_core_doc_udf,
-    teds_doc_udf,
-    text_scores_udf,
+    flagship_doc_udf,
 )
 
 
@@ -55,49 +55,58 @@ def extract_and_verify(docs: DataFrame) -> DataFrame:
     """Run extraction and assert span-sequence equality per document.
 
     ``span_equal`` is a JVM-native comparison of two array<struct> columns —
-    exact on (kind, text, media_ref, offset) including order, no Python."""
+    exact on (kind, text, media_ref, offset) including order, no Python.
+    (Standalone extraction surface; the full pipeline fuses extraction into
+    :func:`run_pipeline`'s single scoring UDF.)"""
     return docs.withColumn("extracted", extract_spans_udf("raw_html")).withColumn(
         "span_equal", F.col("extracted").eqNullSafe(F.col("spans"))
     )
 
 
-def score_documents(docs: DataFrame) -> DataFrame:
-    """Per-document quality metrics: text, tables, layout.
+def run_pipeline(docs: DataFrame) -> DataFrame:
+    """documents → per-document metric rows (narrow, shuffle-free).
+
+    One fused Arrow UDF computes extraction + text + TEDS + mAP-core: four
+    chained ArrowEvalPython stages each paid their own worker pool and
+    Arrow crossing, and the extracted span array crossed the boundary twice
+    (out for the equality check, back in as derived text). Prediction-side
+    text/tables are still pruned JVM-side (`_span_text`/`_table_htmls` over
+    ``pred_spans`` — only the strings the kernels need enter Python), and
+    span-sequence equality stays a JVM-native ``eqNullSafe`` over the
+    returned ``extracted`` column.
 
     GT side uses the *extracted* spans (the engine's own output), compared
     against the document's prediction spans — per the north rule the metric
     kernels grade extracted content; span_equal separately pins extraction
     to the reference."""
-    scored = (
-        docs.withColumn("gt_text", _span_text("extracted"))
-        .withColumn("pred_text", _span_text("pred_spans"))
-        .withColumn("gt_tables", _table_htmls("extracted"))
-        .withColumn("pred_tables", _table_htmls("pred_spans"))
-        .withColumn("text_scores", text_scores_udf("gt_text", "pred_text"))
-        .withColumn("teds", teds_doc_udf("gt_tables", "pred_tables"))
-        # core surface: only the fields kept below are computed — Catalyst
-        # cannot prune inside a pandas UDF, so the kernel prunes itself
-        # (the full-surface twin map_doc_udf serves the layout_map query)
-        .withColumn("layout", map_core_doc_udf("gt_boxes", "pred_boxes"))
+    scored = docs.withColumn(
+        "r",
+        flagship_doc_udf(
+            "raw_html",
+            _span_text("pred_spans"),
+            _table_htmls("pred_spans"),
+            "gt_boxes",
+            "pred_boxes",
+        ),
     )
     return scored.select(
         "doc_id",
-        "span_equal",
+        F.col("r.extracted").eqNullSafe(F.col("spans")).alias("span_equal"),
         F.size("spans").alias("n_spans"),
-        F.col("text_scores.*"),
-        F.col("teds.teds_mean").alias("teds_mean"),
-        F.col("teds.n_pairs").alias("teds_pairs"),
-        F.col("teds.error_count").alias("teds_errors"),
-        F.col("layout.map").alias("map"),
-        F.col("layout.map_50").alias("map_50"),
-        F.col("layout.map_75").alias("map_75"),
-        F.col("layout.mar_100").alias("mar_100"),
+        F.col("r.f1_score").alias("f1_score"),
+        F.col("r.precision_score").alias("precision_score"),
+        F.col("r.recall_score").alias("recall_score"),
+        F.col("r.edit_distance_score").alias("edit_distance_score"),
+        F.col("r.bleu_score").alias("bleu_score"),
+        F.col("r.meteor_score").alias("meteor_score"),
+        F.col("r.teds_mean").alias("teds_mean"),
+        F.col("r.n_pairs").alias("teds_pairs"),
+        F.col("r.error_count").alias("teds_errors"),
+        F.col("r.map").alias("map"),
+        F.col("r.map_50").alias("map_50"),
+        F.col("r.map_75").alias("map_75"),
+        F.col("r.mar_100").alias("mar_100"),
     )
-
-
-def run_pipeline(docs: DataFrame) -> DataFrame:
-    """documents → per-document metric rows (narrow, shuffle-free)."""
-    return score_documents(extract_and_verify(docs))
 
 
 METRIC_COLS = [
