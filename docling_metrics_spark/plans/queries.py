@@ -874,12 +874,62 @@ def extract_spans_pipeline(spark, sf_dir):
     )
 
 
-@query("extraction_summary")
+def _summary_oracle_sql() -> str:
+    """DuckDB re-aggregation of the materialized per-doc metric rows: the
+    cross-engine twin of ``salted_agg`` (sum/cnt/avg/min/max per metric,
+    null-skipping), proving the salted two-stage decomposition equals a
+    plain single-pass aggregation. Rounding (sum→4, avg/min/max→6 decimals)
+    absorbs summation-order float drift and is applied identically in the
+    Spark query."""
+    exprs = []
+    for out_name, src in [
+        ("span_equal_int", "CAST(span_equal AS DOUBLE)"),
+        ("f1_score", "f1_score"),
+        ("edit_distance_score", "edit_distance_score"),
+        ("bleu_score", "bleu_score"),
+        ("teds_mean", "teds_mean"),
+        ("map", '"map"'),
+    ]:
+        exprs += [
+            f"round(sum({src}), 4) AS sum_{out_name}",
+            f"count({src}) AS cnt_{out_name}",
+            f"round(sum({src}) / count({src}), 6) AS avg_{out_name}",
+            f"round(min({src}), 6) AS min_{out_name}",
+            f"round(max({src}), 6) AS max_{out_name}",
+        ]
+    return (
+        "SELECT " + ", ".join(exprs)
+        + f" FROM read_parquet('/tmp/dms_flagship_perdoc_{_SRC_TAG}/*.parquet')"
+    )
+
+
+@query("extraction_summary", _summary_oracle_sql())
 def extraction_summary(spark, sf_dir):
-    """Dataset-level salted two-stage aggregation of the flagship metrics."""
+    """Dataset-level salted two-stage aggregation of the flagship metrics.
+
+    The per-document metric rows are materialized (the checkpoint-table
+    shape a production run would persist anyway), then aggregated with the
+    skew-safe salted partial+final pattern; the DuckDB oracle re-aggregates
+    the same rows in one pass — a cross-engine gate on the distributed
+    aggregation algebra itself. sum/avg/min/max are rounded identically in
+    both engines (see :func:`_summary_oracle_sql`)."""
     from docling_metrics_spark.pipeline import aggregate_metrics, run_pipeline
 
-    return aggregate_metrics(run_pipeline(_corpus(spark, sf_dir, cap=CORPUS_CAPS["extraction_summary"])))
+    path = f"/tmp/dms_flagship_perdoc_{_SRC_TAG}"
+    per_doc = run_pipeline(
+        _corpus(spark, sf_dir, cap=CORPUS_CAPS["extraction_summary"])
+    )
+    per_doc.write.mode("overwrite").parquet(path)
+    agg = aggregate_metrics(spark.read.parquet(path))
+    digits = {"sum": 4, "avg": 6, "min": 6, "max": 6}
+    return agg.select(
+        *[
+            F.round(F.col(c), digits[c.split("_", 1)[0]]).alias(c)
+            if c.split("_", 1)[0] in digits
+            else F.col(c)
+            for c in agg.columns
+        ]
+    )
 
 
 @query("token_edit_distance_pairs")
