@@ -69,6 +69,24 @@ def test_metric_parity_vs_oracle(spark, per_doc):
         else:
             assert got.map is None or got.map != got.map
 
+        # TEDS through the fused flagship UDF == the standalone kernel path
+        from docling_metrics_spark.operators.udfs import _doc_teds
+
+        def _tables(spans):
+            ts = sorted(
+                (s for s in spans if s["kind"] == "table"),
+                key=lambda s: s["offset"],
+            )
+            return [s["text"] for s in ts]
+
+        ot = _doc_teds(_tables(spans), _tables(doc["pred_spans"]))
+        if ot["teds_mean"] is None:
+            assert got.teds_mean is None, doc["doc_id"]
+        else:
+            assert got.teds_mean == pytest.approx(ot["teds_mean"], rel=REL)
+        assert got.teds_pairs == ot["n_pairs"]
+        assert got.teds_errors == ot["error_count"]
+
 
 def test_aggregate_metrics_summary(spark, per_doc):
     row = aggregate_metrics(per_doc).collect()[0]
