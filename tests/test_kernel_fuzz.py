@@ -157,3 +157,64 @@ def test_map_udf_hostile_box_count_degrades_one_row(spark):
         ).select("doc_id", "m.*").collect()
     }
     assert core[0].map == -1.0 and core[1].map == 1.0
+
+
+def test_fused_flagship_udf_hostile_inputs_degrade_one_row(spark):
+    """The FUSED flagship UDF inherits every kernel's error channel: a
+    hostile box count emits the mAP sentinel while the same row's text and
+    TEDS fields still score; a deeply-nested DOM extracts flattened instead
+    of dying; the healthy sibling row in the same Arrow batch is
+    untouched."""
+    from pyspark.sql import functions as F
+
+    from docling_metrics_spark.operators.udfs import flagship_doc_udf
+
+    def boxes(n, with_score):
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda i: F.struct(
+                F.pmod(i, F.lit(5)).cast("int").alias("category_id"),
+                F.array(
+                    F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0)
+                ).alias("bbox"),
+                *(
+                    [(i.cast("double") / 1e6).alias("score")]
+                    if with_score
+                    else []
+                ),
+            ),
+        )
+
+    deep_html = "<html><body>" + "<div>" * 500 + "hello world" + \
+        "</div>" * 500 + "</body></html>"
+    sane_html = "<html><body><p>hello world</p></body></html>"
+    df = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, F.lit(deep_html))
+        .otherwise(F.lit(sane_html))
+        .alias("raw_html"),
+        F.lit("hello world").alias("pred_text"),
+        F.array().cast("array<string>").alias("pred_tables"),
+        F.when(F.col("id") == 0, boxes(60_000, False))
+        .otherwise(boxes(1, False))
+        .alias("gt_boxes"),
+        F.when(F.col("id") == 0, boxes(60_000, True))
+        .otherwise(boxes(1, True))
+        .alias("pred_boxes"),
+    ).repartition(1)
+
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            flagship_doc_udf(
+                "raw_html", "pred_text", "pred_tables",
+                "gt_boxes", "pred_boxes",
+            ).alias("r"),
+        ).select("doc_id", "r.*").collect()
+    }
+    hostile, healthy = rows[0], rows[1]
+    assert hostile.map == -1.0 and hostile.mar_100 == -1.0  # mAP sentinel
+    assert hostile.f1_score == 1.0  # text still scored (deep DOM flattened)
+    assert hostile.extracted is not None and len(hostile.extracted) >= 1
+    assert healthy.map == 1.0 and healthy.f1_score == 1.0
