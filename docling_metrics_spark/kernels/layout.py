@@ -271,21 +271,31 @@ def evaluate_map(
         ious_full = iou_matrix(g, pb)
 
         if core:
-            # no-ignore fast path: the "all" area range ignores nothing, so
-            # matching + AP batch across the whole threshold axis
-            npig = len(g)
-            if npig == 0:
+            # Fast path for the overwhelmingly common case where the "all"
+            # area range ignores nothing: matching + AP batch across the
+            # whole threshold axis. Degenerate (inverted/negative-area) or
+            # giant (>1e10) boxes DO get ignored by the "all" range, so any
+            # out-of-range box falls through to the generic ignore-aware
+            # loop below — keeping the core surface bit-identical to the
+            # full surface on every input, not just well-formed ones.
+            lo_all, hi_all = AREA_RANGES["all"]
+            if (
+                not ((g_area < lo_all) | (g_area > hi_all)).any()
+                and not ((p_area < lo_all) | (p_area > hi_all)).any()
+            ):
+                npig = len(g)
+                if npig == 0:
+                    for ti in range(n_thr):
+                        ap[(cls, ti, "all")] = float("nan")
+                        ar[(cls, ti, "all", max_det)] = float("nan")
+                    continue
+                tp_all = _match_all_thresholds(ious_full)
+                ap_t = _ap_all_thresholds(tp_all, npig)
+                rec_t = tp_all.sum(axis=1) / npig
                 for ti in range(n_thr):
-                    ap[(cls, ti, "all")] = float("nan")
-                    ar[(cls, ti, "all", max_det)] = float("nan")
+                    ap[(cls, ti, "all")] = float(ap_t[ti])
+                    ar[(cls, ti, "all", max_det)] = float(rec_t[ti])
                 continue
-            tp_all = _match_all_thresholds(ious_full)
-            ap_t = _ap_all_thresholds(tp_all, npig)
-            rec_t = tp_all.sum(axis=1) / npig
-            for ti in range(n_thr):
-                ap[(cls, ti, "all")] = float(ap_t[ti])
-                ar[(cls, ti, "all", max_det)] = float(rec_t[ti])
-            continue
 
         for area, (lo, hi) in area_ranges.items():
             gt_ig = (g_area < lo) | (g_area > hi)

@@ -176,7 +176,12 @@ def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
     # memoized as None so the error-sentinel semantics are unchanged.
     brackets: dict[str, str | None] = {}
 
-    def _bracket(html: str) -> str | None:
+    def _bracket(html: str | None) -> str | None:
+        # a table span may legally carry NULL text (SPAN_STRUCT is
+        # nullable) — route it to the error sentinel, never a TypeError
+        # that would kill the task
+        if html is None:
+            return None
         if html not in brackets:
             try:
                 brackets[html] = to_bracket(html)
@@ -228,6 +233,22 @@ def _boxes_to_tuples(boxes) -> tuple[list, list]:
     return gt, pred
 
 
+def _gt_tuples(boxes) -> list:
+    """array<struct> GT box column → [(category_id, xyxy)] kernel input."""
+    return [
+        (int(b["category_id"]), list(b["bbox"]))
+        for b in (boxes if boxes is not None else [])
+    ]
+
+
+def _pred_tuples(boxes) -> list:
+    """array<struct> prediction box column → [(category_id, xyxy, score)]."""
+    return [
+        (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
+        for b in (boxes if boxes is not None else [])
+    ]
+
+
 @F.pandas_udf(MAP_TYPE)
 def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
     """Per-document COCO mAP over layout boxes. Documents the kernel
@@ -243,13 +264,8 @@ def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
     sentinel["mar_100_per_class"] = "{}"
     rows = []
     for g, p in zip(gt_boxes, pred_boxes):
-        gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
-        pr = [
-            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
-            for b in (p if p is not None else [])
-        ]
         try:
-            m = evaluate_map(gt, pr)
+            m = evaluate_map(_gt_tuples(g), _pred_tuples(p))
             m["map_per_class"] = _sorted_json(m["map_per_class"])
             m["mar_100_per_class"] = _sorted_json(m["mar_100_per_class"])
             rows.append(m)
@@ -268,13 +284,10 @@ def map_core_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame
     sentinel = {k: -1.0 for k in ("map", "map_50", "map_75", "mar_100")}
     rows = []
     for g, p in zip(gt_boxes, pred_boxes):
-        gt = [(int(b["category_id"]), list(b["bbox"])) for b in (g if g is not None else [])]
-        pr = [
-            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
-            for b in (p if p is not None else [])
-        ]
         try:
-            rows.append(evaluate_map(gt, pr, surface="core"))
+            rows.append(
+                evaluate_map(_gt_tuples(g), _pred_tuples(p), surface="core")
+            )
         except ValueError:
             rows.append(dict(sentinel))
     return pd.DataFrame(rows)
@@ -315,27 +328,32 @@ def flagship_doc_udf(
         raw_html, pred_text, pred_tables, gt_boxes, pred_boxes
     ):
         extracted = extract_spans_from_html(html if html is not None else "")
-        by_offset = sorted(
-            (s for s in extracted if s["text"] is not None),
-            key=lambda s: s["offset"],
+        gt_text = " ".join(
+            s["text"]
+            for s in sorted(
+                (s for s in extracted if s["text"] is not None),
+                key=lambda s: s["offset"],
+            )
         )
-        gt_text = " ".join(s["text"] for s in by_offset)
-        gt_tables = [s["text"] for s in by_offset if s["kind"] == "table"]
+        # exactly `_table_htmls` semantics: kind filter only (a table span
+        # with NULL text stays in the list and pairs positionally; the
+        # bracket memo routes it to the error sentinel)
+        gt_tables = [
+            s["text"]
+            for s in sorted(
+                (s for s in extracted if s["kind"] == "table"),
+                key=lambda s: s["offset"],
+            )
+        ]
         row: dict = {"extracted": extracted}
         row.update(
             evaluate_text_pair(gt_text, ptxt if ptxt is not None else "").__dict__
         )
         row.update(_doc_teds(gt_tables, ptabs))
-        gt = [
-            (int(b["category_id"]), list(b["bbox"]))
-            for b in (g if g is not None else [])
-        ]
-        pr = [
-            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
-            for b in (p if p is not None else [])
-        ]
         try:
-            row.update(evaluate_map(gt, pr, surface="core"))
+            row.update(
+                evaluate_map(_gt_tuples(g), _pred_tuples(p), surface="core")
+            )
         except ValueError:
             row.update(map_sentinel)
         rows.append(row)
@@ -355,16 +373,14 @@ def make_tore_partial_udf(n_classes: int, page_width: int, page_height: int):
     def tore_partial_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
         out = []
         for g, p in zip(gt_boxes, pred_boxes):
-            gt = [
-                (int(b["category_id"]), list(b["bbox"]))
-                for b in (g if g is not None else [])
-            ]
-            pr = [
-                (int(b["category_id"]), list(b["bbox"]))
-                for b in (p if p is not None else [])
-            ]
-            gt_img = rasterize_multilabel(gt, page_width, page_height, n_classes)
-            pred_img = rasterize_multilabel(pr, page_width, page_height, n_classes)
+            # TORE rasterization is score-free: both sides use the
+            # (category_id, bbox) shape
+            gt_img = rasterize_multilabel(
+                _gt_tuples(g), page_width, page_height, n_classes
+            )
+            pred_img = rasterize_multilabel(
+                _gt_tuples(p), page_width, page_height, n_classes
+            )
             cm = confusion_matrix_from_masks(gt_img, pred_img, n_classes)
             out.append(cm.ravel().tolist())
         return pd.Series(out)
@@ -587,15 +603,7 @@ def match_stats_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
 
     out = []
     for g, p in zip(gt_boxes, pred_boxes):
-        gt = [
-            (int(b["category_id"]), list(b["bbox"]))
-            for b in (g if g is not None else [])
-        ]
-        pr = [
-            (int(b["category_id"]), list(b["bbox"]), float(b["score"]))
-            for b in (p if p is not None else [])
-        ]
-        stats = match_stats(gt, pr)
+        stats = match_stats(_gt_tuples(g), _pred_tuples(p))
         out.append(
             [
                 {
@@ -804,16 +812,12 @@ def make_tore_page_udf(n_classes: int, page_width: int, page_height: int):
 
         rows = []
         for g, p in zip(gt_boxes, pred_boxes):
-            gt = [
-                (int(b["category_id"]), list(b["bbox"]))
-                for b in (g if g is not None else [])
-            ]
-            pr = [
-                (int(b["category_id"]), list(b["bbox"]))
-                for b in (p if p is not None else [])
-            ]
-            gt_img = rasterize_multilabel(gt, page_width, page_height, n_classes)
-            pred_img = rasterize_multilabel(pr, page_width, page_height, n_classes)
+            gt_img = rasterize_multilabel(
+                _gt_tuples(g), page_width, page_height, n_classes
+            )
+            pred_img = rasterize_multilabel(
+                _gt_tuples(p), page_width, page_height, n_classes
+            )
             cm = confusion_matrix_from_masks(gt_img, pred_img, n_classes)
             m = confusion_metrics(cm)
             m["collapsed_f1_mean"] = confusion_metrics(

@@ -1556,8 +1556,6 @@ def embedding_ivf_topk(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
     ).parquet(out)
     ivf = spark.read.parquet(out).select("qid", "vec_id").distinct()
 
-    from pyspark.sql.window import Window
-
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -1568,6 +1566,16 @@ def embedding_ivf_topk(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", _cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
     )
+    return _graded_recall(scored, ivf, k)
+
+
+def _graded_recall(scored, approx_pairs, k: int):
+    """Shared recall-report tail for the ANN queries: exact top-k from a
+    (qid, vec_id, cosine) frame (ties broken by ascending vec_id, matching
+    the DuckDB oracles), left-joined against the approximate candidate
+    pairs → per-query n_hit + recall_at_5."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     exact = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -1575,7 +1583,9 @@ def embedding_ivf_topk(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
         .select("qid", "vec_id")
     )
     return (
-        exact.join(ivf.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        exact.join(
+            approx_pairs.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+        )
         .groupBy("qid")
         .agg(
             F.count("hit").alias("n_hit"),
@@ -1668,22 +1678,7 @@ def embedding_lsh_topk(spark, sf_dir, k: int = 5):
         a.join(F.broadcast(e), F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", _cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    exact = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("qid", "vec_id")
-    )
-    return (
-        exact.join(lsh.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").alias("n_hit"),
-            F.round(F.count("hit") / float(k), 6).alias("recall_at_5"),
-        )
-    )
+    return _graded_recall(scored, lsh, k)
 
 
 # ---------------------------------------------------------------------------

@@ -515,6 +515,47 @@ def test_map_core_surface_matches_full():
     }
 
 
+def test_map_core_matches_full_on_degenerate_boxes():
+    """The "all" area range IGNORES degenerate (inverted, negative-area)
+    and giant (>1e10 area) boxes; the core fast path must fall back to the
+    ignore-aware loop on such inputs so core == full holds on EVERY input,
+    not just well-formed ones (round-3 review finding)."""
+    import math
+    import random
+
+    # inverted GT is ignored → npig 0 → every bucket NaN → -1.0 sentinel
+    gt = [(0, [10.0, 10.0, 5.0, 20.0])]
+    pred = [(0, [0.0, 0.0, 10.0, 10.0], 0.9)]
+    core = evaluate_map(gt, pred, surface="core")
+    full = evaluate_map(gt, pred)
+    assert core["map"] == full["map"] == -1.0
+
+    rng = random.Random(99)
+
+    def rbox():
+        x, y = rng.uniform(-10, 50), rng.uniform(-10, 50)
+        r = rng.random()
+        if r < 0.3:
+            return [x, y, x - rng.uniform(0, 20), y - rng.uniform(0, 20)]
+        if r < 0.4:
+            return [x, y, x + 2e5, y + 2e5]  # area > 1e10 → ignored
+        return [x, y, x + rng.uniform(0.1, 60), y + rng.uniform(0.1, 60)]
+
+    for _ in range(300):
+        gt = [(rng.randint(0, 2), rbox()) for _ in range(rng.randint(0, 6))]
+        pred = [
+            (rng.randint(0, 2), rbox(), round(rng.random(), 2))
+            for _ in range(rng.randint(0, 6))
+        ]
+        core = evaluate_map(gt, pred, surface="core")
+        full = evaluate_map(gt, pred)
+        for k in core:
+            same = core[k] == full[k] or (
+                math.isnan(core[k]) and math.isnan(full[k])
+            )
+            assert same, (k, core[k], full[k], gt, pred)
+
+
 def test_cells_to_html_roundtrip_fixed_point():
     """cells→html→cells is a fixed point on topology, header flags, and
     text (reference cells_to_html contract, grits.py:425-485)."""
