@@ -105,12 +105,14 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
 
     _lsh_sigs_table(spark, sf_dir).count()
 
-    # Best-of-N per query (default 2): the sandbox microVM shares a host,
-    # and CPU steal can inflate a single run ~5× (BASELINE.md); the min of
-    # two runs samples past most spikes. Reference benchmark harnesses
-    # emit per-run min/max/mean/median stats; repeats>1 reproduces that
-    # surface in "query_stats".
-    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")), 1)
+    # Best-of-N per query (default 3): the sandbox microVM shares a host,
+    # and CPU steal can inflate a single run ~5× (BASELINE.md) — round-3
+    # clean reruns saw individual queries swing 1.8s ↔ 9s between
+    # back-to-back bench invocations. The min of three runs samples past
+    # most spikes. Reference benchmark harnesses emit per-run
+    # min/max/mean/median stats; repeats>1 reproduces that surface in
+    # "query_stats".
+    repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     stats: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs.get(name)
