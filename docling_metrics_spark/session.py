@@ -5,9 +5,10 @@ for local testing:
 
 - AQE on (adaptive shuffle partition coalescing + skew-join splitting),
 - Arrow self-destruct + capped records-per-batch (512): bounds Python worker
-  memory on giant documents AND keeps batches small enough that chained
-  pandas UDFs in one stage pipeline across their Python workers (one big
-  batch per task serializes the UDF chain; measured ~1.4× on the flagship),
+  memory on giant documents, and keeps batches small enough that queries
+  which still chain several pandas UDFs pipeline across their Python
+  workers (the flagship itself is one fused UDF since round 3, so the cap
+  there is purely a memory bound),
 - shuffle partitions sized by the caller (tests: 8–32; cluster: 2–3× cores).
 """
 

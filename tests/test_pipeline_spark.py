@@ -88,6 +88,19 @@ def test_metric_parity_vs_oracle(spark, per_doc):
         assert got.teds_errors == ot["error_count"]
 
 
+def test_pipeline_partition_invariance(spark, docs):
+    """Per-document results must be bit-identical regardless of how the
+    corpus is partitioned — the property that makes the job's output stable
+    across cluster sizes, speculative re-execution, and resume (every
+    kernel is a pure per-row function; any partition-dependent state would
+    break this)."""
+    a = {r.doc_id: r for r in run_pipeline(docs.repartition(2)).collect()}
+    b = {r.doc_id: r for r in run_pipeline(docs.repartition(7)).collect()}
+    assert set(a) == set(b) and len(a) == N_DOCS
+    for k in a:
+        assert a[k] == b[k], k
+
+
 def test_aggregate_metrics_summary(spark, per_doc):
     row = aggregate_metrics(per_doc).collect()[0]
     assert row["sum_span_equal_int"] == N_DOCS  # all docs extracted exactly
