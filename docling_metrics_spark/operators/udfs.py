@@ -294,12 +294,12 @@ def map_core_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame
 
 
 # Fused flagship surface: extraction + all three metric families from ONE
-# Arrow crossing. Four chained ArrowEvalPython stages each pay their own
-# worker pool, Arrow serialization, and carried-through columns — and the
-# extracted span array crossed the boundary twice (Python→JVM for the
-# equality check, JVM→Python again as derived text). Fusing keeps the
-# per-batch Python work identical (~5 ms/doc) while paying the boundary
-# once; measured ~2× on the flagship wall at sf0.1.
+# Arrow crossing. The unfused plan ran two chained ArrowEvalPython stages
+# (extract, then the three scoring UDFs co-evaluated together), each with
+# its own worker pool and Arrow serialization — and the extracted span
+# array crossed the boundary twice (Python→JVM for the equality check,
+# JVM→Python again as derived text). Fusing keeps the per-batch Python
+# work identical (~5 ms/doc) while paying the boundary once.
 FLAGSHIP_TYPE = StructType(
     [StructField("extracted", SPANS_TYPE)]
     + list(TEXT_SCORES_TYPE.fields)

@@ -12,10 +12,14 @@ agg, which is the 100 TB design point):
 
 Prediction span text is concatenated JVM-side (filter + transform +
 array_join on the spans array) so only the strings the kernels need cross
-the Arrow boundary — nested-column pruning by construction. The four metric
-stages are fused into a single pandas UDF: same per-doc kernel work, one
-Arrow crossing and one Python worker pool instead of four (the extracted
-span array previously crossed the boundary twice).
+the Arrow boundary — nested-column pruning by construction. Extraction and
+the three metric families are fused into a single pandas UDF: same per-doc
+kernel work, one Arrow crossing and one Python worker pool instead of the
+previous two chained ArrowEvalPython stages (Spark already co-evaluated
+the three independent scoring UDFs in one node; the real savings are the
+extract→score dependency chain and the extracted span array, which
+previously crossed the boundary twice — out for the JVM equality check,
+back in as derived text).
 """
 
 from __future__ import annotations
@@ -66,10 +70,11 @@ def extract_and_verify(docs: DataFrame) -> DataFrame:
 def run_pipeline(docs: DataFrame) -> DataFrame:
     """documents → per-document metric rows (narrow, shuffle-free).
 
-    One fused Arrow UDF computes extraction + text + TEDS + mAP-core: four
-    chained ArrowEvalPython stages each paid their own worker pool and
-    Arrow crossing, and the extracted span array crossed the boundary twice
-    (out for the equality check, back in as derived text). Prediction-side
+    One fused Arrow UDF computes extraction + text + TEDS + mAP-core. The
+    unfused plan had two chained ArrowEvalPython stages (extract, then the
+    three scoring UDFs co-evaluated in one node), each with its own worker
+    pool — and the extracted span array crossed the boundary twice (out
+    for the equality check, back in as derived text). Prediction-side
     text/tables are still pruned JVM-side (`_span_text`/`_table_htmls` over
     ``pred_spans`` — only the strings the kernels need enter Python), and
     span-sequence equality stays a JVM-native ``eqNullSafe`` over the

@@ -709,14 +709,19 @@ def ngram_jaccard_pairs(spark, sf_dir):
 @query(
     "embedding_topk",
     """
-    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    -- embeddings cast to DOUBLE[] so the dot product accumulates in
+    -- float64 exactly like Spark's per-element double cast (_dot);
+    -- float32 accumulation diverges at the 4th decimal on ~1e-4 of pairs
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                 FROM embeddings),
+         q AS (SELECT vec_id AS qid, embedding AS qe FROM emb WHERE vec_id < 3),
          scored AS (
              SELECT q.qid, e.vec_id,
                     round(list_dot_product(q.qe, e.embedding)
                           / greatest(sqrt(list_dot_product(q.qe, q.qe))
                                      * sqrt(list_dot_product(e.embedding, e.embedding)),
                                      1e-12), 4) AS cosine
-             FROM q CROSS JOIN embeddings e
+             FROM q CROSS JOIN emb e
              WHERE e.vec_id != q.qid
          )
     SELECT qid, vec_id, cosine FROM (
@@ -1428,14 +1433,17 @@ def _lsh_candidate_pairs(spark, sf_dir, id_cap: int = 300, n_tables: int = 24,
     WITH pairs AS (
         SELECT id_a, id_b
         FROM read_parquet('/tmp/dms_lsh_ann_pairs/*.parquet')
-    )
+    ),
+    -- DOUBLE[] cast = Spark's per-element double accumulation (_dot)
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+            FROM embeddings)
     SELECT p.id_a, p.id_b,
            round(list_dot_product(a.embedding, b.embedding)
                  / greatest(sqrt(list_dot_product(a.embedding, a.embedding))
                             * sqrt(list_dot_product(b.embedding, b.embedding)),
                             1e-12), 4) AS cosine
-    FROM pairs p JOIN embeddings a ON a.vec_id = p.id_a
-                 JOIN embeddings b ON b.vec_id = p.id_b
+    FROM pairs p JOIN emb a ON a.vec_id = p.id_a
+                 JOIN emb b ON b.vec_id = p.id_b
     ORDER BY p.id_a, p.id_b
     """,
 )
@@ -1514,13 +1522,15 @@ def _ivf_topk_df(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
 @query(
     "embedding_ivf_topk",
     """
-    WITH scored AS (
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                 FROM embeddings),
+    scored AS (
         SELECT q.vec_id AS qid, e.vec_id,
                round(list_dot_product(q.embedding, e.embedding)
                      / greatest(sqrt(list_dot_product(q.embedding, q.embedding))
                                 * sqrt(list_dot_product(e.embedding, e.embedding)),
                                 1e-12), 4) AS cosine
-        FROM embeddings q CROSS JOIN embeddings e
+        FROM emb q CROSS JOIN emb e
         WHERE q.vec_id < 3 AND e.vec_id != q.vec_id
     ),
     exact AS (
@@ -1629,7 +1639,8 @@ def _lsh_topk_df(spark, sf_dir, k: int = 5):
 @query(
     "embedding_lsh_topk",
     """
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id < 300),
          scored AS (
              SELECT a.vec_id AS qid, b.vec_id,
                     round(list_dot_product(a.embedding, b.embedding)
@@ -1763,7 +1774,8 @@ def language_id(spark, sf_dir):
 @query(
     "embedding_cosine_near_dup",
     """
-    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+               FROM embeddings WHERE vec_id < 300)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.embedding, b.embedding)
                  / greatest(sqrt(list_dot_product(a.embedding, a.embedding))

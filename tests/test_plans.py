@@ -239,8 +239,8 @@ def test_lsh_topk_plan_has_no_python_nodes(spark):
 def test_flagship_plan_shape(spark):
     """The flagship is narrow (no Exchange) with exactly ONE Arrow UDF
     evaluation — extract + text + TEDS + mAP fused into a single crossing
-    (four chained ArrowEvalPython stages would pay four worker pools and
-    ship the extracted spans across the boundary twice)."""
+    (the unfused plan ran two chained ArrowEvalPython stages and shipped
+    the extracted spans across the boundary twice)."""
     from docling_metrics_spark.plans.queries import extract_spans_pipeline
 
     plan = extract_spans_pipeline(
