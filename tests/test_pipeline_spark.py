@@ -88,6 +88,19 @@ def test_metric_parity_vs_oracle(spark, per_doc):
         assert got.teds_errors == ot["error_count"]
 
 
+def test_span_equality_holds_for_any_corpus_seed(spark):
+    """Extraction must round-trip the renderer exactly for ANY corpus seed
+    — the north-rule invariant is a property of the extractor, not of the
+    default fixture."""
+    for seed in (7, 123):
+        docs = generate_documents_df(spark, 300, seed=seed)
+        r = run_pipeline(docs).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("span_equal").cast("int")).alias("eq"),
+        ).collect()[0]
+        assert r.eq == r.n == 300, seed
+
+
 def test_pipeline_partition_invariance(spark, docs):
     """Per-document results must be bit-identical regardless of how the
     corpus is partitioned — the property that makes the job's output stable
