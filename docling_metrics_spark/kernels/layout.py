@@ -570,6 +570,27 @@ def confusion_per_class(cm: np.ndarray) -> dict[str, dict[str, float]]:
     }
 
 
+def confusion_matrices(cm: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Full precision/recall/F1 MATRICES — the element-wise normalizations
+    the reference's exporter renders (multi_label_confusion_matrix.py:
+    425-449): precision = column-normalized, recall = row-normalized,
+    F1 = element-wise harmonic mean; zeros (not NaN) where a denominator
+    is empty. The diagonals reproduce :func:`confusion_metrics`."""
+    cm = np.asarray(cm, dtype=float)
+    col_sums = cm.sum(axis=0)
+    row_sums = cm.sum(axis=1)
+    precision_matrix = np.divide(
+        cm, col_sums[None, :], out=np.zeros(cm.shape), where=col_sums[None, :] != 0
+    )
+    recall_matrix = np.divide(
+        cm, row_sums[:, None], out=np.zeros(cm.shape), where=row_sums[:, None] != 0
+    )
+    nom = 2 * precision_matrix * recall_matrix
+    den = precision_matrix + recall_matrix
+    f1_matrix = np.divide(nom, den, out=np.zeros(cm.shape), where=den != 0)
+    return precision_matrix, recall_matrix, f1_matrix
+
+
 def collapsed_confusion_matrix(cm: np.ndarray) -> np.ndarray:
     """Collapse all non-background classes into one (reference
     compute_metrics, multi_label_confusion_matrix.py:396-411): 2×2 matrix
