@@ -172,11 +172,17 @@ def export_tore_report(
         F.col("doc_id"),
         partial_udf("gt_boxes", "pred_boxes").alias("cm"),
     )
-    summed = salted_array_sum(
+    summed_rows = salted_array_sum(
         partials.select("cm"), "cm", n_salts=n_salts
-    ).collect()[0].summed
+    ).collect()
     n_cm = n_classes + 1
-    matrix = np.asarray(summed, dtype=float).reshape(n_cm, n_cm)
+    # empty corpus → empty slot sum → all-zero matrix (report still valid)
+    summed = summed_rows[0].summed if summed_rows and summed_rows[0].summed else []
+    matrix = (
+        np.asarray(summed, dtype=float).reshape(n_cm, n_cm)
+        if summed
+        else np.zeros((n_cm, n_cm))
+    )
 
     num_images = docs.count()
     headers = ["background"] + [f"cat_{k}" for k in range(n_classes)]

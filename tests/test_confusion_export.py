@@ -60,6 +60,19 @@ def _read_matrix_csv(path):
     return headers, index, data
 
 
+def test_export_tore_report_empty_corpus(spark, tmp_path):
+    """An empty corpus yields a valid all-zero report, not a crash."""
+    docs = generate_documents_df(spark, 5).filter("false")
+    meta = export_tore_report(
+        spark, docs, str(tmp_path / "empty"), N_CATEGORIES, 64, 81
+    )
+    assert meta["num_images"] == 0
+    _, _, got = _read_matrix_csv(
+        str(tmp_path / "empty" / "dataset" / "confusion_matrix.csv")
+    )
+    assert (got == 0).all()
+
+
 def test_export_tore_report_golden(spark, tmp_path):
     docs = generate_documents_df(spark, N_DOCS).selectExpr(
         "doc_id",
