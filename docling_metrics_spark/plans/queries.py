@@ -735,17 +735,17 @@ def ngram_jaccard_pairs(spark, sf_dir):
 def embedding_topk(spark, sf_dir):
     from pyspark.sql.window import Window
 
-    e = _t(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    # norms precomputed per VECTOR (O(n) dot products), not per PAIR — the
+    # cross join then evaluates one dot per pair instead of three. The
+    # arithmetic is unchanged: sqrt(dot(x,x)) is the same double either way.
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
 
     scored = (
         F.broadcast(q)
@@ -755,12 +755,8 @@ def embedding_topk(spark, sf_dir):
             "qid",
             "vec_id",
             F.round(
-                dot(F.col("qe"), F.col("embedding"))
-                / F.greatest(
-                    F.sqrt(dot(F.col("qe"), F.col("qe")))
-                    * F.sqrt(dot(F.col("embedding"), F.col("embedding"))),
-                    F.lit(1e-12),
-                ),
+                _dot(F.col("qe"), F.col("embedding"))
+                / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)),
                 4,
             ).alias("cosine"),
         )
@@ -1566,15 +1562,27 @@ def embedding_ivf_topk(spark, sf_dir, n_cells: int = 16, nprobe: int = 8,
     ).parquet(out)
     ivf = spark.read.parquet(out).select("qid", "vec_id").distinct()
 
-    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
     q = e.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         F.broadcast(q)
         .crossJoin(e)
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("embedding"))
+                / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)),
+                4,
+            ).alias("cosine"),
+        )
     )
     return _graded_recall(scored, ivf, k)
 
@@ -1681,13 +1689,26 @@ def embedding_lsh_topk(spark, sf_dir, k: int = 5):
     _lsh_topk_df(spark, sf_dir, k).write.mode("overwrite").parquet(out)
     lsh = spark.read.parquet(out).select("qid", "vec_id").distinct()
 
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
-        "vec_id", "embedding"
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     )
-    a = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
-    scored = (
-        a.join(F.broadcast(e), F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", _cosine(F.col("qe"), F.col("embedding")).alias("cosine"))
+    a = e.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    # per-vector norms: one dot per pair in the cross join, not three
+    scored = a.join(F.broadcast(e), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        "vec_id",
+        F.round(
+            _dot(F.col("qe"), F.col("embedding"))
+            / F.greatest(F.col("qnrm") * F.col("nrm"), F.lit(1e-12)),
+            4,
+        ).alias("cosine"),
     )
     return _graded_recall(scored, lsh, k)
 
@@ -1793,26 +1814,26 @@ def embedding_cosine_near_dup(spark, sf_dir):
     """Exact cosine near-dup over a bounded id range (broadcast self-join).
     At scale the candidate set comes from LSH buckets (embedding_lsh_ann);
     this exact variant doubles as that path's verification oracle."""
-    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300).select(
-        "vec_id", "embedding"
+    # per-vector norms precomputed before the self-join: one dot per pair
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 300)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))))
     )
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a.cast("double") * b.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / F.greatest(
-            F.sqrt(dot(F.col("ea"), F.col("ea")))
-            * F.sqrt(dot(F.col("eb"), F.col("eb"))),
-            F.lit(1e-12),
-        ),
+        _dot(F.col("ea"), F.col("eb"))
+        / F.greatest(F.col("na") * F.col("nb"), F.lit(1e-12)),
         4,
     )
     return (
