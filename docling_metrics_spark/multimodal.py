@@ -101,10 +101,23 @@ def _decode_stub(payload: bytes) -> dict:
     """Parse the real header, then feature-extract.
 
     Real pixel decode is unavailable in this container; PIL is attempted
-    and the deterministic byte-level fallback keeps the pipeline testable."""
-    magic, media_type, width, height, n_body = HEADER.unpack_from(payload)
-    if magic != MAGIC:
-        raise ValueError("bad media header")
+    and the deterministic byte-level fallback keeps the pipeline testable.
+
+    A truncated or hostile payload must degrade to an error-sentinel row
+    (the engine's convention everywhere else), never kill the task:
+    ``unpack_from`` raises ``struct.error`` on short input, which is NOT
+    a ``ValueError`` subclass."""
+    try:
+        magic, media_type, width, height, n_body = HEADER.unpack_from(payload)
+        if magic != MAGIC or not (0 <= media_type < len(MEDIA_TYPES)):
+            raise ValueError("bad media header")
+    except (struct.error, ValueError):
+        return {
+            "media_type": "error", "width": -1, "height": -1,
+            "n_bytes": len(payload), "mean_byte": -1.0,
+            "n_distinct_bytes": -1, "checksum": "",
+            "decoder": "error",
+        }
     body = payload[HEADER.size:HEADER.size + n_body]
     decoder = "stub"
     try:  # pragma: no cover - codec not installed in sandbox

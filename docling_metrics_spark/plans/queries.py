@@ -2145,7 +2145,10 @@ def multimodal_features(spark, sf_dir):
     from docling_metrics_spark.multimodal import decode_media_features, media_table
 
     docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["multimodal_features"])
-    return decode_media_features(media_table(docs)).orderBy("media_ref")
+    # no terminal orderBy: a global sort's sampling pass would re-execute
+    # the mapInPandas subtree; the driver's rows-only check is
+    # order-insensitive
+    return decode_media_features(media_table(docs))
 
 
 @query("media_frame_sample")
@@ -2154,7 +2157,8 @@ def media_frame_sample(spark, sf_dir):
     from docling_metrics_spark.multimodal import media_table, sample_frames
 
     docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["media_frame_sample"])
-    return sample_frames(media_table(docs)).orderBy("media_ref", "frame_index")
+    # no terminal orderBy (same rationale as multimodal_features)
+    return sample_frames(media_table(docs))
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,50 @@ def test_decode_features_deterministic(spark):
         assert f_.decoder == "stub"  # no codec libs in sandbox
 
 
+def test_hostile_payload_degrades_to_error_row(spark):
+    """A truncated or garbage payload must emit an error-sentinel row via
+    decode_media_features end-to-end (struct.error on short input must not
+    kill the executor task)."""
+    hostile = [
+        ("d0", "media://d0/0", b""),                     # empty
+        ("d1", "media://d1/0", b"DMSK"),                 # truncated header
+        ("d2", "media://d2/0", b"\x00" * 5),             # short garbage
+        ("d3", "media://d3/0", b"XXXX" + b"\x00" * 20),  # bad magic
+        ("d4", "media://d4/0", MAGIC + b"\xff" * 20),    # bad media_type
+    ]
+    media = spark.createDataFrame(
+        [(d, r, 0, 0, bytearray(p)) for d, r, p in hostile],
+        "doc_id string, media_ref string, width int, height int, payload binary",
+    ).withColumn("media_type", F.lit("image")).select(
+        "doc_id", "media_ref", "media_type", "width", "height", "payload"
+    )
+    rows = decode_media_features(media).collect()
+    assert len(rows) == len(hostile)
+    for r in rows:
+        assert r.decoder == "error" and r.media_type == "error"
+        assert r.width == -1 and r.checksum == ""
+
+
+def test_multimodal_query_plans_end_at_mapinpandas(spark):
+    """VERDICT r3 #2: both multimodal queries must end at the mapInPandas
+    node — no terminal sort (whose range-partitioner sampling pass would
+    re-execute the whole UDF subtree)."""
+    from docling_metrics_spark.plans.queries import (
+        media_frame_sample,
+        multimodal_features,
+    )
+
+    for q in (multimodal_features, media_frame_sample):
+        plan = q(spark, "/root/testdata/sf0.001")._jdf.queryExecution(
+        ).explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Sort" not in plan and "Exchange" not in plan, q.__name__
+        assert "MapInPandas" in plan
+
+
 def test_frame_sampling(spark):
     docs = generate_documents_df(spark, 60)
     media = media_table(docs)
