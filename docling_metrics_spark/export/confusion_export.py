@@ -116,6 +116,24 @@ def export_dataset_report(
     return meta
 
 
+def collapsed_vector_from_cm(cm: np.ndarray) -> list:
+    """Per-page collapsed 12-vector (tore_layout_evaluator.py:289-303):
+    collapse the (C+1)² matrix to background-vs-all 2×2, then flatten the
+    precision/recall/F1 matrices in the exporter's header order
+    (:data:`COLLAPSED_IMAGE_HEADERS`). UNROUNDED — callers round (the
+    export sheet at 3 decimals; the registered query in-engine so its
+    DuckDB oracle shares the rounding semantics)."""
+    from docling_metrics_spark.kernels.layout import (
+        collapsed_confusion_matrix,
+        confusion_matrices,
+    )
+
+    pm, rm, fm = confusion_matrices(collapsed_confusion_matrix(cm))
+    return np.stack(
+        [pm.flatten(), rm.flatten(), fm.flatten()], axis=0
+    ).flatten().tolist()
+
+
 def make_image_vector_udf(n_classes: int, page_width: int, page_height: int):
     """Per-page collapsed 12-vector UDF (tore_layout_evaluator.py:289-303):
     rasterize → confusion matrix → collapse → flattened
@@ -126,8 +144,6 @@ def make_image_vector_udf(n_classes: int, page_width: int, page_height: int):
     @F.pandas_udf(ArrayType(DoubleType()))
     def image_vector_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
         from docling_metrics_spark.kernels.layout import (
-            collapsed_confusion_matrix,
-            confusion_matrices,
             confusion_matrix_from_masks,
             rasterize_multilabel,
         )
@@ -142,12 +158,36 @@ def make_image_vector_udf(n_classes: int, page_width: int, page_height: int):
                 _gt_tuples(p), page_width, page_height, n_classes
             )
             cm = confusion_matrix_from_masks(gt_img, pred_img, n_classes)
-            pm, rm, fm = confusion_matrices(collapsed_confusion_matrix(cm))
-            vec = np.stack([pm.flatten(), rm.flatten(), fm.flatten()], axis=0)
-            out.append(np.round(vec.flatten(), 3).tolist())
+            out.append(
+                np.round(collapsed_vector_from_cm(cm), 3).tolist()
+            )
         return pd.Series(out)
 
     return image_vector_udf
+
+
+def make_image_vector_from_cm_udf(n_classes: int):
+    """The sheet's 12-vector from an already-computed flattened matrix
+    (the materialized table the TORE queries share) — UNROUNDED doubles;
+    the registered query rounds in-engine (Spark round == DuckDB round,
+    both HALF_UP) so the oracle can reproduce values exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    n_cm = n_classes + 1
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def image_vector_from_cm_udf(cm_col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                collapsed_vector_from_cm(
+                    np.asarray(arr, dtype=float).reshape(n_cm, n_cm)
+                )
+                for arr in cm_col
+            ]
+        )
+
+    return image_vector_from_cm_udf
 
 
 def export_tore_report(

@@ -344,11 +344,8 @@ def test_dataset_map_single_doc_equals_per_doc(spark):
         got_d = json.loads(ds[col])
         assert set(want_d) == set(got_d), col
         for cat, want in want_d.items():
-            got = got_d[cat]
-            if want == -1.0:
-                assert got is None, (col, cat, got)
-            else:
-                assert got is not None and abs(got - want) < 1.01e-6, (
-                    col, cat, got, want
-                )
+            # dataset JSON values are "%.6f" strings; -1.000000 = empty
+            # pool, matching the per-doc surface's -1.0 sentinel
+            got = float(got_d[cat])
+            assert abs(got - want) < 1.01e-6, (col, cat, got, want)
     one.unpersist()
