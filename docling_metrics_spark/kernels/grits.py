@@ -148,16 +148,18 @@ def _transpose(grid):
     return [list(col) for col in zip(*grid)] if grid else []
 
 
-def grits(cells_a: list[dict], cells_b: list[dict], task: str) -> float:
-    """GriTS f-score for one task over two cell lists."""
+def grits_detail(cells_a: list[dict], cells_b: list[dict],
+                 task: str) -> tuple[float, int, int]:
+    """(matched-reward total, grid cells A, grid cells B) for one task —
+    the un-normalized triple behind :func:`grits` (f = 2·total/(na+nb)),
+    exposed so the pairs-materializing query can persist it and a SQL
+    oracle re-derive the f-score normalization."""
     field = {"topology": "relspan", "content": "text", "location": "bbox"}[task]
     ga, gb = cells_to_grid(cells_a, field), cells_to_grid(cells_b, field)
     na = sum(len(r) for r in ga)
     nb = sum(len(r) for r in gb)
-    if na == 0 and nb == 0:
-        return 1.0
     if na == 0 or nb == 0:
-        return 0.0
+        return 0.0, na, nb
     reward = cell_reward(task)
 
     def row_reward(row_a, row_b):
@@ -172,6 +174,16 @@ def grits(cells_a: list[dict], cells_b: list[dict], task: str) -> float:
     for ra, rb in row_pairs:
         for ca, cb in col_map.items():
             total += reward(ga[ra][ca], gb[rb][cb])
+    return total, na, nb
+
+
+def grits(cells_a: list[dict], cells_b: list[dict], task: str) -> float:
+    """GriTS f-score for one task over two cell lists."""
+    total, na, nb = grits_detail(cells_a, cells_b, task)
+    if na == 0 and nb == 0:
+        return 1.0
+    if na == 0 or nb == 0:
+        return 0.0
     return 2.0 * total / (na + nb)
 
 

@@ -375,11 +375,10 @@ def _treedist(i: int, j: int, t1, t2, l1, l2, td) -> None:
                 )
 
 
-def teds_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]:
-    """TEDS = 1 − TED / max(sizes); returns (teds, size_a, size_b).
-
-    Formula: cpp_src/pybind/teds_manager.h:87-96 (C++ path node counts are
-    full bracket-tree sizes)."""
+def teds_detail_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]:
+    """(tree-edit distance, size_a, size_b) — the un-normalized triple
+    behind :func:`teds_from_brackets`, exposed so the bracket-pairs query
+    can materialize it and a SQL oracle re-derive TEDS = 1 − d/max."""
     if bracket_a == bracket_b:
         # identical serialization ⇒ identical tree ⇒ TED 0; still parse to
         # reject malformed input, and take the size from the TREE — counting
@@ -387,11 +386,18 @@ def teds_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]
         # braces (it is JSON-embedded), which would disagree with the
         # tree.size() reported on the non-identical path
         n = bracket_to_tree(bracket_a).size()
-        return 1.0, n, n
+        return 0, n, n
     ta = bracket_to_tree(bracket_a)
     tb = bracket_to_tree(bracket_b)
-    na, nb = ta.size(), tb.size()
-    dist = tree_edit_distance(ta, tb)
+    return tree_edit_distance(ta, tb), ta.size(), tb.size()
+
+
+def teds_from_brackets(bracket_a: str, bracket_b: str) -> tuple[float, int, int]:
+    """TEDS = 1 − TED / max(sizes); returns (teds, size_a, size_b).
+
+    Formula: cpp_src/pybind/teds_manager.h:87-96 (C++ path node counts are
+    full bracket-tree sizes)."""
+    dist, na, nb = teds_detail_from_brackets(bracket_a, bracket_b)
     return 1.0 - dist / max(na, nb), na, nb
 
 

@@ -151,6 +151,17 @@ def evaluate_text_pair(
         tokens_b = treebank_tokenize(text_b)
     except Exception:
         return TextPairScores(*([error_score] * 6))
+    return evaluate_token_pair(tokens_a, tokens_b, error_score)
+
+
+def evaluate_token_pair(
+    tokens_a: list[str], tokens_b: list[str],
+    error_score: float = DEFAULT_ERROR_SCORE,
+) -> TextPairScores:
+    """The six metrics from already-tokenized sides — the post-tokenize
+    half of :func:`evaluate_text_pair`, split out so a query can
+    materialize the token arrays and let a DuckDB oracle recompute every
+    score from them independently."""
     set_a, set_b = set(tokens_a), set(tokens_b)
 
     def _safe(fn, *args):

@@ -136,7 +136,11 @@ def _decode_stub(payload: bytes) -> dict:
         "n_bytes": len(body),
         "mean_byte": float(sum(body)) / max(len(body), 1),
         "n_distinct_bytes": len(set(body)),
-        "checksum": hashlib.md5(body).hexdigest(),
+        # md5 over the LOWERCASE-HEX body, not the raw bytes: DuckDB's
+        # md5() is VARCHAR-only (cannot hash BLOBs — CLAUDE.md pitfall),
+        # so a hex-domain fingerprint is what makes this column
+        # cross-engine verifiable. Same content-addressing power.
+        "checksum": hashlib.md5(body.hex().encode()).hexdigest(),
         "decoder": decoder,
     }
 
@@ -180,7 +184,10 @@ def sample_frames(media: DataFrame, every: int = 4,
                     frame = body[i * frame_bytes:(i + 1) * frame_bytes]
                     rows.append({
                         "doc_id": doc_id, "media_ref": ref, "frame_index": i,
-                        "frame_checksum": hashlib.md5(frame).hexdigest(),
+                        # hex-domain md5, same rationale as _decode_stub
+                        "frame_checksum": hashlib.md5(
+                            frame.hex().encode()
+                        ).hexdigest(),
                     })
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "media_ref", "frame_index", "frame_checksum"

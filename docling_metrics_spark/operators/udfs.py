@@ -163,9 +163,71 @@ def text_scores_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
-              to_bracket=None) -> dict:
-    """Order-paired TEDS over a document's table spans.
+TOKEN_PAIR_TYPE = StructType(
+    [
+        StructField("tokens_a", ArrayType(StringType())),
+        StructField("tokens_b", ArrayType(StringType())),
+        StructField("enc_a", StringType()),
+        StructField("enc_b", StringType()),
+    ]
+    + list(TEXT_SCORES_TYPE.fields)
+)
+
+
+def _encode_token_pair(
+    tokens_a: list[str], tokens_b: list[str]
+) -> tuple[str | None, str | None]:
+    """Map each distinct token of the pair to ONE SINGLE-BYTE char
+    (0x01–0x7F) so the token sequences become strings whose byte-level
+    Levenshtein equals the token-level distance — DuckDB's ``levenshtein``
+    is byte-based (a 3-byte CJK substitution costs up to 3 and alignments
+    may split multi-byte chars), so only a 1-byte-per-token alphabet makes
+    the oracle exact. Pairs with more than 127 distinct tokens return
+    ``(None, None)``: no encoding, the oracle cannot check that row (the
+    bounded 100-pair query's corpus maxes out at ~31)."""
+    vocab: dict[str, str] = {}
+    for tok in tokens_a:
+        if tok not in vocab:
+            vocab[tok] = chr(1 + len(vocab)) if len(vocab) < 127 else ""
+    for tok in tokens_b:
+        if tok not in vocab:
+            vocab[tok] = chr(1 + len(vocab)) if len(vocab) < 127 else ""
+    if "" in vocab.values():
+        return None, None
+    return (
+        "".join(vocab[t] for t in tokens_a),
+        "".join(vocab[t] for t in tokens_b),
+    )
+
+
+@F.pandas_udf(TOKEN_PAIR_TYPE)
+def token_pair_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
+    """Tokenize + encode + score in ONE Arrow crossing: emits the token
+    arrays, the codepoint-encoded token strings, and the six text metrics.
+    The materialized (tokens, encodings) are the shared input from which
+    the DuckDB oracle independently re-derives every score column."""
+    from docling_metrics_spark.kernels.textmetrics import evaluate_token_pair
+    from docling_metrics_spark.kernels.tokenize import treebank_tokenize
+
+    rows = []
+    for a, b in zip(text_a, text_b):
+        ta = treebank_tokenize(a if a is not None else "")
+        tb = treebank_tokenize(b if b is not None else "")
+        ea, eb = _encode_token_pair(ta, tb)
+        rows.append(
+            {"tokens_a": ta, "tokens_b": tb, "enc_a": ea, "enc_b": eb}
+            | evaluate_token_pair(ta, tb).__dict__
+        )
+    return pd.DataFrame(rows)
+
+
+def _doc_teds_pairs(gt_tables: list[str] | None,
+                    pred_tables: list[str] | None,
+                    to_bracket=None) -> list[dict]:
+    """Order-paired per-pair TEDS rows for one document:
+    ``[{idx, score, err}]`` — the long form :func:`_doc_teds` aggregates
+    and the pairs-materializing queries persist so a DuckDB oracle can
+    re-derive the doc-level aggregation.
 
     Tables are paired by order of appearance (the i-th GT table vs the i-th
     predicted table); unpaired tables score 0 — analogous to the reference's
@@ -178,16 +240,6 @@ def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
     gt_tables = list(gt_tables) if gt_tables is not None else []
     pred_tables = list(pred_tables) if pred_tables is not None else []
     n = max(len(gt_tables), len(pred_tables))
-    if n == 0:
-        return {
-            "teds_mean": None,
-            "n_tables_gt": 0,
-            "n_tables_pred": 0,
-            "n_pairs": 0,
-            "error_count": 0,
-        }
-    scores: list[float] = []
-    errors = 0
     # Per-document bracket memo: an unperturbed prediction table is the
     # same HTML string as its GT twin, so the (expensive) HTML parse runs
     # once per distinct table instead of once per pair side. ValueError is
@@ -207,28 +259,84 @@ def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
                 brackets[html] = None
         return brackets[html]
 
+    rows: list[dict] = []
     for i in range(n):
         if i >= len(gt_tables) or i >= len(pred_tables):
-            scores.append(0.0)
+            rows.append({"idx": i, "score": 0.0, "err": False})
             continue
         ba, bb = _bracket(gt_tables[i]), _bracket(pred_tables[i])
         if ba is None or bb is None:
-            errors += 1
-            scores.append(0.0)
+            rows.append({"idx": i, "score": 0.0, "err": True})
             continue
         try:
             teds, _, _ = teds_from_brackets(ba, bb)
-            scores.append(teds)
+            rows.append({"idx": i, "score": teds, "err": False})
         except ValueError:
-            errors += 1
-            scores.append(0.0)
+            rows.append({"idx": i, "score": 0.0, "err": True})
+    return rows
+
+
+def _doc_teds(gt_tables: list[str] | None, pred_tables: list[str] | None,
+              to_bracket=None) -> dict:
+    """Doc-level aggregate of :func:`_doc_teds_pairs` (mean over pairs
+    including the 0.0 unpaired rows, table/pair/error counts)."""
+    gt = list(gt_tables) if gt_tables is not None else []
+    pred = list(pred_tables) if pred_tables is not None else []
+    rows = _doc_teds_pairs(gt, pred, to_bracket)
+    if not rows:
+        return {
+            "teds_mean": None,
+            "n_tables_gt": 0,
+            "n_tables_pred": 0,
+            "n_pairs": 0,
+            "error_count": 0,
+        }
     return {
-        "teds_mean": sum(scores) / len(scores),
-        "n_tables_gt": len(gt_tables),
-        "n_tables_pred": len(pred_tables),
-        "n_pairs": min(len(gt_tables), len(pred_tables)),
-        "error_count": errors,
+        "teds_mean": sum(r["score"] for r in rows) / len(rows),
+        "n_tables_gt": len(gt),
+        "n_tables_pred": len(pred),
+        "n_pairs": min(len(gt), len(pred)),
+        "error_count": sum(1 for r in rows if r["err"]),
     }
+
+
+TEDS_PAIR_DETAIL_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("idx", IntegerType()),
+            StructField("score", DoubleType()),
+            StructField("err", BooleanType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(TEDS_PAIR_DETAIL_TYPE)
+def teds_pairs_detail_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.Series:
+    """Per-pair TEDS rows (HTML input mode) — the long form the
+    pairs-materializing query explodes and persists."""
+    return pd.Series(
+        [_doc_teds_pairs(g, p) for g, p in zip(gt_tables, pred_tables)]
+    )
+
+
+@F.pandas_udf(TEDS_PAIR_DETAIL_TYPE)
+def teds_cells_pairs_detail_udf(
+    gt_tables: pd.Series, pred_tables: pd.Series
+) -> pd.Series:
+    """Per-pair TEDS rows through the CELLS input mode (html → cells →
+    canonical html → bracket), long form of :func:`teds_cells_doc_udf`."""
+    from docling_metrics_spark.kernels.grits import cells_to_html, html_to_cells
+
+    def via_cells(html: str) -> str:
+        return html_to_bracket(cells_to_html(html_to_cells(html)))
+
+    return pd.Series(
+        [
+            _doc_teds_pairs(g, p, to_bracket=via_cells)
+            for g, p in zip(gt_tables, pred_tables)
+        ]
+    )
 
 
 @F.pandas_udf(TEDS_DOC_TYPE)
@@ -544,6 +652,63 @@ def grits_tables_udf(gt_tables: pd.Series, pred_tables: pd.Series) -> pd.DataFra
     return pd.DataFrame(rows)
 
 
+GRITS_PAIR_DETAIL_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("idx", IntegerType()),
+            StructField("err", BooleanType()),
+            StructField("total_top", DoubleType()),
+            StructField("total_con", DoubleType()),
+            StructField("total_loc", DoubleType()),
+            StructField("na", IntegerType()),
+            StructField("nb", IntegerType()),
+            StructField("nca", IntegerType()),
+            StructField("ncb", IntegerType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(GRITS_PAIR_DETAIL_TYPE)
+def grits_pairs_detail_udf(
+    gt_tables: pd.Series, pred_tables: pd.Series
+) -> pd.Series:
+    """Long form of :func:`grits_tables_udf`: per order-paired table, the
+    un-normalized 2D-MSS reward totals and grid/cell cardinalities for all
+    three tasks — materialized so a DuckDB oracle re-derives the f-score
+    normalization (2·total/(na+nb) with the empty-grid edge cases) and the
+    doc-level means. The alignment itself stays kernel-side."""
+    from docling_metrics_spark.kernels.grits import grits_detail, html_to_cells
+
+    out = []
+    for gts, prs in zip(gt_tables, pred_tables):
+        gts = list(gts) if gts is not None else []
+        prs = list(prs) if prs is not None else []
+        pairs = []
+        for i in range(min(len(gts), len(prs))):
+            try:
+                ca, cb = html_to_cells(gts[i]), html_to_cells(prs[i])
+            except ValueError:
+                # malformed table HTML → scored 0, mirroring the
+                # reference's error-sentinel semantics
+                pairs.append(
+                    {"idx": i, "err": True, "total_top": 0.0,
+                     "total_con": 0.0, "total_loc": 0.0,
+                     "na": 0, "nb": 0, "nca": 0, "ncb": 0}
+                )
+                continue
+            t_top, na, nb = grits_detail(ca, cb, "topology")
+            t_con, _, _ = grits_detail(ca, cb, "content")
+            t_loc, _, _ = grits_detail(ca, cb, "location")
+            pairs.append(
+                {"idx": i, "err": False, "total_top": t_top,
+                 "total_con": t_con, "total_loc": t_loc,
+                 "na": na, "nb": nb, "nca": len(ca), "ncb": len(cb)}
+            )
+        out.append(pairs)
+    return pd.Series(out)
+
+
 def make_tore_final_udf(n_classes: int):
     """Final step of the TORE partial+final pattern: dataset P/R/F1
     recomputed on the salted-summed matrix (tore_layout_evaluator.py:242-245)."""
@@ -802,6 +967,41 @@ def teds_pair_bracket_udf(bracket_a: pd.Series, bracket_b: pd.Series) -> pd.Seri
         except ValueError:
             out.append(0.0)
     return pd.Series(out)
+
+
+TEDS_BRACKET_DETAIL_TYPE = StructType(
+    [
+        # the ZSS DP accumulates float costs; integral-valued for unit
+        # costs but double-typed to match the kernel's return
+        StructField("dist", DoubleType()),
+        StructField("na", IntegerType()),
+        StructField("nb", IntegerType()),
+        StructField("err", BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(TEDS_BRACKET_DETAIL_TYPE)
+def teds_bracket_detail_udf(
+    bracket_a: pd.Series, bracket_b: pd.Series
+) -> pd.DataFrame:
+    """Un-normalized TED triple per bracket pair — materialized so a SQL
+    oracle re-derives TEDS = 1 − dist/max(na, nb) (error rows → 0.0)."""
+    from docling_metrics_spark.kernels.teds import teds_detail_from_brackets
+
+    rows = []
+    for a, b in zip(bracket_a, bracket_b):
+        if a is None or b is None:
+            rows.append({"dist": 0.0, "na": 0, "nb": 0, "err": True})
+            continue
+        try:
+            dist, na, nb = teds_detail_from_brackets(a, b)
+            rows.append(
+                {"dist": float(dist), "na": na, "nb": nb, "err": False}
+            )
+        except ValueError:
+            rows.append({"dist": 0.0, "na": 0, "nb": 0, "err": True})
+    return pd.DataFrame(rows)
 
 
 def make_tore_page_from_cm_udf(n_classes: int, page_width: int, page_height: int):

@@ -930,40 +930,215 @@ def extraction_summary(spark, sf_dir):
     )
 
 
-@query("token_edit_distance_pairs")
+_TOKEN_PAIRS_PATH = f"/tmp/dms_token_pairs_{_SRC_TAG}"
+
+# DuckDB recomputes ALL six text metrics independently from the
+# materialized token arrays (the score columns in the parquet are never
+# read — no passthrough): set P/R/F1 via list_distinct/list_intersect,
+# token-level Levenshtein via char-level levenshtein() on the
+# one-codepoint-per-token encodings, BLEU via n-gram explode + clipped
+# group-join counts, METEOR via the occurrence-index join (greedy
+# leftmost-unused alignment == matching the k-th hyp occurrence of a
+# token to its k-th ref occurrence) + lag() chunk counting.
+_TOKEN_PAIRS_ORACLE = f"""
+WITH p AS (
+  SELECT gt_id, pred_id, tokens_a AS ta, tokens_b AS tb, enc_a, enc_b,
+         len(tokens_a) AS la, len(tokens_b) AS lb
+  FROM read_parquet('{_TOKEN_PAIRS_PATH}/*.parquet')
+),
+ns AS (SELECT unnest(range(1, 5)) AS n),
+pg AS (
+  SELECT gt_id, n,
+         unnest([substring(enc_a, i, n)
+                 for i in range(1, greatest(la - n + 2, 1))]) AS g
+  FROM p CROSS JOIN ns
+),
+rg AS (
+  SELECT gt_id, n,
+         unnest([substring(enc_b, i, n)
+                 for i in range(1, greatest(lb - n + 2, 1))]) AS g
+  FROM p CROSS JOIN ns
+),
+pgc AS (SELECT gt_id, n, g, count(*) AS c FROM pg GROUP BY gt_id, n, g),
+rgc AS (SELECT gt_id, n, g, count(*) AS c FROM rg GROUP BY gt_id, n, g),
+mt AS (
+  SELECT pgc.gt_id, pgc.n, sum(least(pgc.c, rgc.c)) AS matched
+  FROM pgc JOIN rgc
+    ON pgc.gt_id = rgc.gt_id AND pgc.n = rgc.n AND pgc.g = rgc.g
+  GROUP BY pgc.gt_id, pgc.n
+),
+bln AS (
+  SELECT p.gt_id, ns.n, greatest(p.la - ns.n + 1, 0) AS total,
+         coalesce(mt.matched, 0) AS matched
+  FROM p CROSS JOIN ns
+  LEFT JOIN mt ON mt.gt_id = p.gt_id AND mt.n = ns.n
+),
+bl AS (
+  SELECT gt_id,
+         bool_or(total = 0 OR matched = 0) AS any_zero,
+         sum(ln(nullif(CAST(matched AS DOUBLE), 0) / nullif(total, 0))) AS logsum
+  FROM bln GROUP BY gt_id
+),
+hx AS (SELECT gt_id, unnest(tb) AS t, unnest(range(lb)) AS hi FROM p),
+rx AS (SELECT gt_id, unnest(ta) AS t, unnest(range(la)) AS ri FROM p),
+h2 AS (SELECT gt_id, t, hi,
+              row_number() OVER (PARTITION BY gt_id, t ORDER BY hi) AS occ
+       FROM hx),
+r2 AS (SELECT gt_id, t, ri,
+              row_number() OVER (PARTITION BY gt_id, t ORDER BY ri) AS occ
+       FROM rx),
+mp AS (
+  SELECT h2.gt_id, h2.hi, r2.ri
+  FROM h2 JOIN r2
+    ON h2.gt_id = r2.gt_id AND h2.t = r2.t AND h2.occ = r2.occ
+),
+ck AS (
+  SELECT gt_id,
+         CASE WHEN lag(hi) OVER w = hi - 1 AND lag(ri) OVER w = ri - 1
+              THEN 0 ELSE 1 END AS brk
+  FROM mp WINDOW w AS (PARTITION BY gt_id ORDER BY hi)
+),
+met AS (SELECT gt_id, count(*) AS matches, sum(brk) AS chunks
+        FROM ck GROUP BY gt_id),
+sets AS (
+  SELECT gt_id,
+         len(list_distinct(ta)) AS sa,
+         len(list_distinct(tb)) AS sb,
+         len(list_intersect(ta, tb)) AS si
+  FROM p
+)
+SELECT p.gt_id, p.pred_id,
+  round(CASE WHEN sets.sa = 0 OR sets.sb = 0 THEN -1.0
+             WHEN sets.si = 0 THEN 0.0
+             ELSE 1.0 / (0.5 / (CAST(sets.si AS DOUBLE) / sets.sb)
+                         + 0.5 / (CAST(sets.si AS DOUBLE) / sets.sa))
+        END, 6) AS f1_score,
+  round(CASE WHEN sets.sb = 0 THEN -1.0
+             ELSE CAST(sets.si AS DOUBLE) / sets.sb END, 6) AS precision_score,
+  round(CASE WHEN sets.sa = 0 THEN -1.0
+             ELSE CAST(sets.si AS DOUBLE) / sets.sa END, 6) AS recall_score,
+  round(CASE WHEN greatest(p.la, p.lb) = 0 THEN 0.0
+             ELSE CAST(levenshtein(p.enc_a, p.enc_b) AS DOUBLE)
+                  / greatest(p.la, p.lb) END, 6) AS edit_distance_score,
+  round(CASE WHEN p.lb = 0 THEN -1.0
+             WHEN p.la = 0 THEN 0.0
+             WHEN bl.any_zero THEN 0.0
+             ELSE (CASE WHEN p.la >= p.lb THEN 1.0
+                        ELSE exp(1.0 - CAST(p.lb AS DOUBLE) / p.la) END)
+                  * exp(bl.logsum / 4) END, 6) AS bleu_score,
+  round(CASE WHEN coalesce(met.matches, 0) = 0 THEN 0.0
+             ELSE (1.0 - 0.5 * pow(CAST(met.chunks AS DOUBLE) / met.matches, 3))
+                  * ((CAST(met.matches AS DOUBLE) / p.lb)
+                     * (CAST(met.matches AS DOUBLE) / p.la))
+                  / (0.9 * (CAST(met.matches AS DOUBLE) / p.lb)
+                     + 0.1 * (CAST(met.matches AS DOUBLE) / p.la))
+        END, 6) AS meteor_score
+FROM p
+JOIN sets ON sets.gt_id = p.gt_id
+LEFT JOIN bl ON bl.gt_id = p.gt_id
+LEFT JOIN met ON met.gt_id = p.gt_id
+"""
+
+
+@query("token_edit_distance_pairs", _TOKEN_PAIRS_ORACLE)
 def token_edit_distance_pairs(spark, sf_dir):
     """Token-level text metrics (treebank tokenize + Myers Levenshtein +
     set-P/R/F1 + BLEU + METEOR) over adjacent-doc pairs of the testdata
-    documents table — the reference TextMetrics.evaluate_sample as one
-    Arrow-batch kernel."""
-    from docling_metrics_spark.operators.udfs import text_scores_udf
+    documents table — the reference TextMetrics.evaluate_sample
+    (docling_metrics_text.py:66-238) as one Arrow-batch kernel.
+
+    The UDF emits token arrays + one-codepoint-per-token encodings
+    alongside the scores; those are materialized so the DuckDB oracle
+    recomputes all six metrics from the tokens independently (see
+    ``_TOKEN_PAIRS_ORACLE``) — a full cross-engine check of the
+    Levenshtein DP, BLEU clipping/brevity, METEOR alignment/chunking and
+    set-P/R/F1, sharing only the tokenizer output."""
+    from docling_metrics_spark.operators.udfs import (
+        TEXT_SCORES_TYPE,
+        token_pair_udf,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     a = d.filter(F.col("doc_id") < 100).select(
         F.col("doc_id").alias("gt_id"), F.col("text").alias("text_a")
     )
     b = d.select(F.col("doc_id").alias("pred_id"), F.col("text").alias("text_b"))
-    return (
+    (
         a.join(b, F.col("pred_id") == F.col("gt_id") + 100)
-        .withColumn("scores", text_scores_udf("text_a", "text_b"))
-        .select("gt_id", "pred_id", "scores.*")
+        .withColumn("r", token_pair_udf("text_a", "text_b"))
+        .select("gt_id", "pred_id", "r.*")
+        .write.mode("overwrite")
+        .parquet(_TOKEN_PAIRS_PATH)
+    )
+    t = spark.read.parquet(_TOKEN_PAIRS_PATH)
+    return t.select(
+        "gt_id", "pred_id",
+        *[F.round(F.col(f.name), 6).alias(f.name)
+          for f in TEXT_SCORES_TYPE.fields],
     )
 
 
-@query("teds_table_pairs")
-def teds_table_pairs(spark, sf_dir):
-    """TEDS (Zhang–Shasha on serialized cell trees) per document over the
-    interleaved corpus' table spans."""
-    from docling_metrics_spark.operators.udfs import teds_doc_udf
+def _teds_pairs_materialized(spark, sf_dir, cap, detail_udf, path):
+    """Shared shape of the TEDS pair queries: JVM table-span extraction →
+    per-pair TEDS rows (one Arrow crossing) → explode + persist the long
+    form → JVM re-aggregation to the doc level. The DuckDB oracle
+    re-derives the same aggregation from the persisted pairs (mean over
+    pairs incl. 0.0 unpaired, min-pairing, error counting) — the
+    cross-engine gate on the doc-level algebra; the tree-edit distance
+    itself stays kernel-side, pinned by pytest goldens."""
     from docling_metrics_spark.pipeline import _table_htmls
 
-    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["teds_table_pairs"])
-    return (
+    docs = _corpus(spark, sf_dir, cap=cap)
+    (
         docs.withColumn("gt_tables", _table_htmls("spans"))
         .withColumn("pred_tables", _table_htmls("pred_spans"))
         .filter(F.size("gt_tables") > 0)
-        .withColumn("teds", teds_doc_udf("gt_tables", "pred_tables"))
-        .select("doc_id", "teds.*")
+        .select(
+            "doc_id",
+            F.size("gt_tables").alias("n_gt"),
+            F.size("pred_tables").alias("n_pred"),
+            F.explode(detail_udf("gt_tables", "pred_tables")).alias("p"),
+        )
+        .select("doc_id", "n_gt", "n_pred", "p.*")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    t = spark.read.parquet(path)
+    return t.groupBy("doc_id").agg(
+        F.round(F.avg("score"), 6).alias("teds_mean"),
+        F.first("n_gt").alias("n_tables_gt"),
+        F.first("n_pred").alias("n_tables_pred"),
+        F.least(F.first("n_gt"), F.first("n_pred")).alias("n_pairs"),
+        F.sum(F.col("err").cast("int")).cast("int").alias("error_count"),
+    )
+
+
+def _teds_pairs_oracle(path: str) -> str:
+    return f"""
+    SELECT doc_id,
+           round(avg(score), 6) AS teds_mean,
+           max(n_gt) AS n_tables_gt,
+           max(n_pred) AS n_tables_pred,
+           least(max(n_gt), max(n_pred)) AS n_pairs,
+           CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS INT) AS error_count
+    FROM read_parquet('{path}/*.parquet')
+    GROUP BY doc_id
+    """
+
+
+_TEDS_HTML_PAIRS_PATH = f"/tmp/dms_teds_html_pairs_{_SRC_TAG}"
+
+
+@query("teds_table_pairs", _teds_pairs_oracle(_TEDS_HTML_PAIRS_PATH))
+def teds_table_pairs(spark, sf_dir):
+    """TEDS (Zhang–Shasha on serialized cell trees) per document over the
+    interleaved corpus' table spans; per-pair rows materialized, doc-level
+    aggregation re-derived by the DuckDB oracle."""
+    from docling_metrics_spark.operators.udfs import teds_pairs_detail_udf
+
+    return _teds_pairs_materialized(
+        spark, sf_dir, CORPUS_CAPS["teds_table_pairs"],
+        teds_pairs_detail_udf, _TEDS_HTML_PAIRS_PATH,
     )
 
 
@@ -2191,52 +2366,118 @@ def streaming_sessionize(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("grits_cells_pairs")
+_GRITS_PAIRS_PATH = f"/tmp/dms_grits_pairs_{_SRC_TAG}"
+
+
+def _grits_score_sql(total: str) -> str:
+    """f = 2·total/(na+nb) with the empty-grid edges (both empty → 1.0,
+    one empty → 0.0, parse error → 0.0) — grits() normalization in SQL."""
+    return f"""CASE WHEN err THEN 0.0
+               WHEN na = 0 AND nb = 0 THEN 1.0
+               WHEN na = 0 OR nb = 0 THEN 0.0
+               ELSE 2.0 * {total} / (na + nb) END"""
+
+
+_GRITS_PAIRS_ORACLE = f"""
+SELECT doc_id,
+       round(avg({_grits_score_sql('total_top')}), 6) AS grits_top,
+       round(avg({_grits_score_sql('total_con')}), 6) AS grits_con,
+       round(avg({_grits_score_sql('total_loc')}), 6) AS grits_loc,
+       CAST(sum(coalesce(nca, 0)) AS INT) AS n_cells_gt,
+       CAST(sum(coalesce(ncb, 0)) AS INT) AS n_cells_pred
+FROM read_parquet('{_GRITS_PAIRS_PATH}/*.parquet')
+GROUP BY doc_id
+"""
+
+
+@query("grits_cells_pairs", _GRITS_PAIRS_ORACLE)
 def grits_cells_pairs(spark, sf_dir):
     """GriTS (topology/content/location) over cell lists parsed from the
     corpus table spans — html→cells (stack walk w/ colspan placement) then
-    factored 2D-MSS, one Arrow batch kernel per document."""
-    from docling_metrics_spark.operators.udfs import grits_tables_udf
+    factored 2D-MSS per order-paired table. The un-normalized per-pair
+    reward totals + cardinalities are materialized; Spark and the DuckDB
+    oracle both re-derive the f-scores and doc-level means from them
+    (cross-engine gate on the GriTS normalization + aggregation algebra;
+    the 2D-MSS alignment stays kernel-side, pinned by pytest)."""
+    from docling_metrics_spark.operators.udfs import grits_pairs_detail_udf
     from docling_metrics_spark.pipeline import _table_htmls
 
     docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["grits_cells_pairs"])
-    return (
+    (
         docs.withColumn("gt_tables", _table_htmls("spans"))
         .withColumn("pred_tables", _table_htmls("pred_spans"))
         .filter(F.size("gt_tables") > 0)
-        .withColumn("g", grits_tables_udf("gt_tables", "pred_tables"))
-        .select("doc_id", "g.*")
+        .select(
+            "doc_id",
+            F.explode_outer(
+                grits_pairs_detail_udf("gt_tables", "pred_tables")
+            ).alias("p"),
+        )
+        .select("doc_id", "p.*")
+        .write.mode("overwrite")
+        .parquet(_GRITS_PAIRS_PATH)
+    )
+    t = spark.read.parquet(_GRITS_PAIRS_PATH)
+
+    def _score(total):
+        return (
+            F.when(F.col("err"), F.lit(0.0))
+            .when((F.col("na") == 0) & (F.col("nb") == 0), F.lit(1.0))
+            .when((F.col("na") == 0) | (F.col("nb") == 0), F.lit(0.0))
+            .otherwise(
+                F.lit(2.0) * F.col(total) / (F.col("na") + F.col("nb"))
+            )
+        )
+
+    return t.groupBy("doc_id").agg(
+        F.round(F.avg(_score("total_top")), 6).alias("grits_top"),
+        F.round(F.avg(_score("total_con")), 6).alias("grits_con"),
+        F.round(F.avg(_score("total_loc")), 6).alias("grits_loc"),
+        F.sum(F.coalesce("nca", F.lit(0))).cast("int").alias("n_cells_gt"),
+        F.sum(F.coalesce("ncb", F.lit(0))).cast("int").alias("n_cells_pred"),
     )
 
 
-@query("teds_cells_pairs")
+_TEDS_CELLS_PAIRS_PATH = f"/tmp/dms_teds_cells_pairs_{_SRC_TAG}"
+
+
+@query("teds_cells_pairs", _teds_pairs_oracle(_TEDS_CELLS_PAIRS_PATH))
 def teds_cells_pairs(spark, sf_dir):
     """TEDS via the CELLS input mode (reference's third table input path,
     docling_metrics_table.py:190-199): table HTML → GriTS cells →
-    cells_to_html canonicalization → TEDS."""
-    from docling_metrics_spark.operators.udfs import teds_cells_doc_udf
-    from docling_metrics_spark.pipeline import _table_htmls
+    cells_to_html canonicalization → TEDS; per-pair rows materialized,
+    doc-level aggregation re-derived by the DuckDB oracle."""
+    from docling_metrics_spark.operators.udfs import teds_cells_pairs_detail_udf
 
-    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["teds_cells_pairs"])
-    return (
-        docs.withColumn("gt_tables", _table_htmls("spans"))
-        .withColumn("pred_tables", _table_htmls("pred_spans"))
-        .filter(F.size("gt_tables") > 0)
-        .withColumn("t", teds_cells_doc_udf("gt_tables", "pred_tables"))
-        .select("doc_id", "t.*")
+    return _teds_pairs_materialized(
+        spark, sf_dir, CORPUS_CAPS["teds_cells_pairs"],
+        teds_cells_pairs_detail_udf, _TEDS_CELLS_PAIRS_PATH,
     )
 
 
-@query("teds_bracket_pairs")
+_TEDS_BRACKET_DETAIL_PATH = f"/tmp/dms_teds_bracket_detail_{_SRC_TAG}"
+
+_TEDS_BRACKET_ORACLE = f"""
+SELECT doc_id,
+       round(CASE WHEN err THEN 0.0
+                  ELSE 1.0 - CAST(dist AS DOUBLE) / greatest(na, nb)
+             END, 6) AS teds
+FROM read_parquet('{_TEDS_BRACKET_DETAIL_PATH}/*.parquet')
+"""
+
+
+@query("teds_bracket_pairs", _TEDS_BRACKET_ORACLE)
 def teds_bracket_pairs(spark, sf_dir):
     """TEDS via the BRACKET input mode — the reference's native C++ path
     (TableMetricBracketInputSample, docling_metrics_table.py:211-231):
     tables arrive already serialized as bracket strings and TEDS runs on
     them directly, completing the trio of table input modes (bracket /
-    HTML / cells) as named queries."""
+    HTML / cells) as named queries. The un-normalized (dist, na, nb)
+    triple is materialized so the DuckDB oracle re-derives the TEDS
+    normalization 1 − d/max(sizes) (teds_manager.h:87-96 formula)."""
     from docling_metrics_spark.operators.udfs import (
         table_tree_stats_udf,
-        teds_pair_bracket_udf,
+        teds_bracket_detail_udf,
     )
     from docling_metrics_spark.pipeline import _table_htmls
 
@@ -2263,9 +2504,25 @@ def teds_bracket_pairs(spark, sf_dir):
         )
         .filter(F.col("bracket_a").isNotNull() & F.col("bracket_b").isNotNull())
     )
-    return paired.select(
+    (
+        paired.select(
+            "doc_id",
+            teds_bracket_detail_udf("bracket_a", "bracket_b").alias("d"),
+        )
+        .select("doc_id", "d.*")
+        .write.mode("overwrite")
+        .parquet(_TEDS_BRACKET_DETAIL_PATH)
+    )
+    t = spark.read.parquet(_TEDS_BRACKET_DETAIL_PATH)
+    return t.select(
         "doc_id",
-        F.round(teds_pair_bracket_udf("bracket_a", "bracket_b"), 6).alias("teds"),
+        F.round(
+            F.when(F.col("err"), F.lit(0.0)).otherwise(
+                F.lit(1.0)
+                - F.col("dist").cast("double") / F.greatest("na", "nb")
+            ),
+            6,
+        ).alias("teds"),
     )
 
 
@@ -2466,27 +2723,134 @@ def teds_similarity_join(spark, sf_dir, threshold: float = 0.8):
 _ORACLES["teds_similarity_join"] = _tsj_oracle()
 
 
-@query("multimodal_features")
+_MEDIA_PATH = f"/tmp/dms_media_{_SRC_TAG}"
+
+
+def _materialize_media(spark, sf_dir, cap):
+    """Explode media spans → synthesized binary payloads, persisted once so
+    both multimodal queries decode from the same table and the DuckDB
+    oracles can read the raw BLOBs."""
+    from docling_metrics_spark.multimodal import media_table
+
+    docs = _corpus(spark, sf_dir, cap=cap)
+    media_table(docs).write.mode("overwrite").parquet(_MEDIA_PATH)
+    return spark.read.parquet(_MEDIA_PATH)
+
+
+def _hexbyte(col: str, i: int) -> str:
+    """SQL for the value of 0-based byte ``i`` of a lowercase-hex string."""
+    return (
+        f"((strpos('0123456789abcdef', substring({col}, {2 * i + 1}, 1)) - 1)"
+        f" * 16 + strpos('0123456789abcdef', substring({col}, {2 * i + 2}, 1))"
+        " - 1)"
+    )
+
+
+# DuckDB re-parses the 13-byte big-endian media header (magic, type, u16
+# width/height, u32 body length) from hex(payload) byte arithmetic and
+# re-derives every feature — mean/distinct bytes by exploding the body
+# hex into byte values, checksum as md5 over the lowercase-hex body (the
+# engine's checksums are hex-domain because DuckDB md5 is VARCHAR-only).
+_MULTIMODAL_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, media_ref, lower(hex(payload)) AS hx,
+         octet_length(payload) AS n
+  FROM read_parquet('{_MEDIA_PATH}/*.parquet')
+),
+hdr AS (
+  SELECT doc_id, media_ref, hx, n,
+         substring(hx, 1, 8) = '444d534b' AS magic_ok,
+         {_hexbyte('hx', 4)} AS mt,
+         {_hexbyte('hx', 5)} * 256 + {_hexbyte('hx', 6)} AS w,
+         {_hexbyte('hx', 7)} * 256 + {_hexbyte('hx', 8)} AS h,
+         (({_hexbyte('hx', 9)} * 256 + {_hexbyte('hx', 10)}) * 256
+          + {_hexbyte('hx', 11)}) * 256 + {_hexbyte('hx', 12)} AS n_body
+  FROM m
+),
+good AS (
+  SELECT *, least(n_body, greatest(n - 13, 0)) AS nb,
+         substring(hx, 27, 2 * least(n_body, greatest(n - 13, 0))) AS body_hx
+  FROM hdr WHERE magic_ok AND mt >= 0 AND mt < 3
+),
+bytes_tbl AS (
+  SELECT doc_id, media_ref,
+         [(strpos('0123456789abcdef', substring(body_hx, 2 * i + 1, 1)) - 1)
+           * 16
+           + strpos('0123456789abcdef', substring(body_hx, 2 * i + 2, 1)) - 1
+          for i in range(0, nb)] AS bvals
+  FROM good
+)
+SELECT g.doc_id, g.media_ref,
+       CASE g.mt WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       g.w AS width, g.h AS height, g.nb AS n_bytes,
+       CAST(coalesce(list_sum(b.bvals), 0) AS DOUBLE)
+           / greatest(g.nb, 1) AS mean_byte,
+       len(list_distinct(b.bvals)) AS n_distinct_bytes,
+       md5(g.body_hx) AS checksum,
+       'stub' AS decoder
+FROM good g JOIN bytes_tbl b
+  ON g.doc_id = b.doc_id AND g.media_ref = b.media_ref
+UNION ALL
+SELECT doc_id, media_ref, 'error' AS media_type, -1 AS width, -1 AS height,
+       n AS n_bytes, -1.0 AS mean_byte, -1 AS n_distinct_bytes,
+       '' AS checksum, 'error' AS decoder
+FROM hdr WHERE NOT (magic_ok AND mt >= 0 AND mt < 3)
+"""
+
+
+@query("multimodal_features", _MULTIMODAL_ORACLE)
 def multimodal_features(spark, sf_dir):
     """Media spans → opaque BINARY payloads (typed header + bytes) →
-    mapInPandas decode/feature-extract (decode stubbed, plumbing real)."""
-    from docling_metrics_spark.multimodal import decode_media_features, media_table
+    mapInPandas decode/feature-extract (pixel decode stubbed, header parse
+    and plumbing real). The media table is materialized so the DuckDB
+    oracle independently re-parses the binary header and re-derives every
+    feature from hex(payload) (see ``_MULTIMODAL_ORACLE``) — a full
+    cross-engine check of the binary-column path.
 
-    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["multimodal_features"])
+    The ``decoder`` column is environment-reporting ('stub' without PIL);
+    the oracle pins the sandbox value."""
+    from docling_metrics_spark.multimodal import decode_media_features
+
+    media = _materialize_media(
+        spark, sf_dir, CORPUS_CAPS["multimodal_features"]
+    )
     # no terminal orderBy: a global sort's sampling pass would re-execute
-    # the mapInPandas subtree; the driver's rows-only check is
-    # order-insensitive
-    return decode_media_features(media_table(docs))
+    # the mapInPandas subtree; the driver's check is order-insensitive
+    return decode_media_features(media)
 
 
-@query("media_frame_sample")
+# Frame arithmetic re-derived in SQL: n_frames = max(body_len // 256, 1),
+# every 4th index, each frame a 512-hex-char slice of the body.
+_FRAME_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, media_ref, lower(hex(payload)) AS hx,
+         octet_length(payload) AS n
+  FROM read_parquet('{_MEDIA_PATH}/*.parquet')
+  WHERE media_type = 'video'
+)
+SELECT doc_id, media_ref,
+       CAST(unnest(range(0, greatest((n - 13) // 256, 1), 4)) AS INT)
+           AS frame_index,
+       md5(substring(
+           hx, 27 + CAST(unnest(range(0, greatest((n - 13) // 256, 1), 4))
+                         AS INT) * 512, 512)) AS frame_checksum
+FROM m
+"""
+
+
+@query("media_frame_sample", _FRAME_ORACLE)
 def media_frame_sample(spark, sf_dir):
-    """Video-style frame sampling over binary payloads (mapInPandas fan-out)."""
-    from docling_metrics_spark.multimodal import media_table, sample_frames
+    """Video-style frame sampling over binary payloads (mapInPandas
+    fan-out). The DuckDB oracle re-derives the sampled frame indexes and
+    hex-domain frame checksums from the materialized payload BLOBs."""
+    from docling_metrics_spark.multimodal import sample_frames
 
-    docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["media_frame_sample"])
+    media = _materialize_media(
+        spark, sf_dir, CORPUS_CAPS["media_frame_sample"]
+    )
     # no terminal orderBy (same rationale as multimodal_features)
-    return sample_frames(media_table(docs))
+    return sample_frames(media)
 
 
 # ---------------------------------------------------------------------------

@@ -52,7 +52,7 @@ def test_decode_features_deterministic(spark):
         )
         body = payload[HEADER.size:]
         assert f_.n_bytes == len(body)
-        assert f_.checksum == hashlib.md5(body).hexdigest()
+        assert f_.checksum == hashlib.md5(body.hex().encode()).hexdigest()
         assert f_.decoder == "stub"  # no codec libs in sandbox
 
 
