@@ -213,51 +213,29 @@ def _ap_all_thresholds(tp: np.ndarray, n_gt: int) -> np.ndarray:
     return prec_at.mean(axis=1)
 
 
-def evaluate_map(
+def _fill_pools(
     gt: list[tuple[int, list[float]]],
     pred: list[tuple[int, list[float], float]],
-    max_det: int = 100,
-    surface: str = "full",
-) -> dict:
-    """COCO-protocol mAP for one document/page (or one merged group), with
-    the reference's FULL result surface (map_layout_evaluator.py:146-199 /
-    torchmetrics MeanAveragePrecision): map/map_50/map_75, size-bucketed
-    map_small/medium/large, mar_1/mar_10/mar_100, mar_small/medium/large,
-    and per-class map/mar_100 dicts keyed "cat_<id>". -1.0 marks an
-    undefined bucket (no in-range GT), matching the torchmetrics sentinel.
-
-    ``surface="core"`` restricts the computation to the flagship pipeline's
-    kept fields (all-area map/map_50/map_75/mar_100): the size buckets,
-    mar_1/mar_10, and per-class dicts are skipped entirely, not computed
-    and discarded. Overlapping fields are bit-identical to the full
-    surface (same matching loop, same threshold grid).
-
-    gt: [(category_id, xyxy)], pred: [(category_id, xyxy, score)].
-    """
-    core = surface == "core"
+    max_det: int,
+    core: bool,
+) -> tuple[list, dict, dict]:
+    """The COCO matching/AP loop behind :func:`evaluate_map`: fills the
+    per-(cls, thr_idx, area) AP pool and the per-(…, maxdet) AR pool
+    (NaN = empty pool). Shared by the per-document surface and the
+    long-form :func:`evaluate_map_detail` the layout_map oracle
+    re-aggregates."""
     classes = sorted({c for c, _ in gt} | {c for c, _, _ in pred})
-    sent = -1.0
     # predictions are truncated to max_det per class below, but GT is
     # unbounded input: a hostile document with millions of boxes would
     # allocate a gigabyte IoU matrix — refuse with ValueError (the UDF
     # wrapper emits the sentinel row instead of killing the task)
     if len(gt) + len(pred) > 100_000:
         raise ValueError(f"too many boxes: {len(gt)} gt + {len(pred)} pred")
-    if not classes:
-        if core:
-            return {"map": sent, "map_50": sent, "map_75": sent,
-                    "mar_100": sent}
-        return {
-            "map": sent, "map_50": sent, "map_75": sent,
-            "map_small": sent, "map_medium": sent, "map_large": sent,
-            "mar_1": sent, "mar_10": sent, "mar_100": sent,
-            "mar_small": sent, "mar_medium": sent, "mar_large": sent,
-            "map_per_class": {}, "mar_100_per_class": {},
-        }
-
-    n_thr = len(IOU_THRESHOLDS)
     ap: dict[tuple, float] = {}   # (cls, thr_idx, area) -> AP at max_det
     ar: dict[tuple, float] = {}   # (cls, thr_idx, area, maxdet) -> AR
+    if not classes:
+        return classes, ap, ar
+    n_thr = len(IOU_THRESHOLDS)
     area_ranges = {"all": AREA_RANGES["all"]} if core else AREA_RANGES
 
     for cls in classes:
@@ -332,6 +310,46 @@ def evaluate_map(
                         keep = ~dt_ig[:md]
                         r = float(((dtm[:md] >= 0) & keep).sum() / npig)
                     ar[(cls, ti, area, md)] = r
+    return classes, ap, ar
+
+
+def evaluate_map(
+    gt: list[tuple[int, list[float]]],
+    pred: list[tuple[int, list[float], float]],
+    max_det: int = 100,
+    surface: str = "full",
+) -> dict:
+    """COCO-protocol mAP for one document/page (or one merged group), with
+    the reference's FULL result surface (map_layout_evaluator.py:146-199 /
+    torchmetrics MeanAveragePrecision): map/map_50/map_75, size-bucketed
+    map_small/medium/large, mar_1/mar_10/mar_100, mar_small/medium/large,
+    and per-class map/mar_100 dicts keyed "cat_<id>". -1.0 marks an
+    undefined bucket (no in-range GT), matching the torchmetrics sentinel.
+
+    ``surface="core"`` restricts the computation to the flagship pipeline's
+    kept fields (all-area map/map_50/map_75/mar_100): the size buckets,
+    mar_1/mar_10, and per-class dicts are skipped entirely, not computed
+    and discarded. Overlapping fields are bit-identical to the full
+    surface (same matching loop, same threshold grid).
+
+    gt: [(category_id, xyxy)], pred: [(category_id, xyxy, score)].
+    """
+    core = surface == "core"
+    classes, ap, ar = _fill_pools(gt, pred, max_det, core)
+    sent = -1.0
+    if not classes:
+        if core:
+            return {"map": sent, "map_50": sent, "map_75": sent,
+                    "mar_100": sent}
+        return {
+            "map": sent, "map_50": sent, "map_75": sent,
+            "map_small": sent, "map_medium": sent, "map_large": sent,
+            "mar_1": sent, "mar_10": sent, "mar_100": sent,
+            "mar_small": sent, "mar_medium": sent, "mar_large": sent,
+            "map_per_class": {}, "mar_100_per_class": {},
+        }
+
+    n_thr = len(IOU_THRESHOLDS)
 
     def _mean(vals: list[float]) -> float:
         arr = np.array(vals, dtype=np.float64)
@@ -378,6 +396,40 @@ def evaluate_map(
         "map_per_class": per_cls_map,
         "mar_100_per_class": per_cls_mar,
     }
+
+
+def evaluate_map_detail(
+    gt: list[tuple[int, list[float]]],
+    pred: list[tuple[int, list[float], float]],
+    max_det: int = 100,
+) -> list[dict]:
+    """Long form of the full per-document surface: one row per
+    (cls, thr_idx, area) pool with its AP and AR at maxdets 1/10/max_det
+    ('all' area only for the truncated maxdets, mirroring COCO), NaN →
+    None. The layout_map query materializes these rows so Spark and a
+    DuckDB oracle both re-derive every surface field (nan-skipping means,
+    −1.0 empty sentinels, per-class dicts) from the same table."""
+    classes, ap, ar = _fill_pools(gt, pred, max_det, core=False)
+
+    def _nn(v):
+        return None if v is None or v != v else float(v)
+
+    rows = []
+    for cls in classes:
+        for ti in range(len(IOU_THRESHOLDS)):
+            for area in AREA_RANGES:
+                rows.append(
+                    {
+                        "cls": int(cls),
+                        "thr_idx": ti,
+                        "area": area,
+                        "ap": _nn(ap[(cls, ti, area)]),
+                        "ar_1": _nn(ar.get((cls, ti, area, 1))),
+                        "ar_10": _nn(ar.get((cls, ti, area, 10))),
+                        "ar_100": _nn(ar[(cls, ti, area, max_det)]),
+                    }
+                )
+    return rows
 
 
 # ---------------------------------------------------------------------------

@@ -400,6 +400,39 @@ def map_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+MAP_DETAIL_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("cls", IntegerType()),
+            StructField("thr_idx", IntegerType()),
+            StructField("area", StringType()),
+            StructField("ap", DoubleType()),
+            StructField("ar_1", DoubleType()),
+            StructField("ar_10", DoubleType()),
+            StructField("ar_100", DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(MAP_DETAIL_TYPE)
+def map_detail_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.Series:
+    """Long form of :func:`map_doc_udf`: the per-(cls, thr_idx, area) AP/AR
+    pool rows the surface means are built from, materialized so a DuckDB
+    oracle re-derives every per-doc field. Kernel refusals (hostile box
+    counts) emit an empty list — the sentinel row falls out of the
+    re-derivation (all-NULL means → −1.0, empty per-class dicts)."""
+    from docling_metrics_spark.kernels.layout import evaluate_map_detail
+
+    out = []
+    for g, p in zip(gt_boxes, pred_boxes):
+        try:
+            out.append(evaluate_map_detail(_gt_tuples(g), _pred_tuples(p)))
+        except ValueError:
+            out.append([])
+    return pd.Series(out)
+
+
 @F.pandas_udf(MAP_CORE_TYPE)
 def map_core_doc_udf(gt_boxes: pd.Series, pred_boxes: pd.Series) -> pd.DataFrame:
     """Core-surface per-document mAP for the flagship pipeline: the kernel

@@ -1142,15 +1142,141 @@ def teds_table_pairs(spark, sf_dir):
     )
 
 
-@query("layout_map")
+_MAP_DOC_POOLS_PATH = f"/tmp/dms_map_doc_pools_{_SRC_TAG}"
+
+
+def _map_doc_oracle() -> str:
+    """DuckDB re-derivation of the per-document COCO surface from the
+    materialized per-(doc, cls, thr_idx, area) AP/AR pool rows: the same
+    nan-skipping means, −1.0 empty sentinels, and %.6f per-class JSONs the
+    Spark query derives from the identical table."""
+    scalars = []
+    for alias, col, area, thr in [
+        ("map", "ap", "all", None), ("map_50", "ap", "all", 0),
+        ("map_75", "ap", "all", 5), ("map_small", "ap", "small", None),
+        ("map_medium", "ap", "medium", None),
+        ("map_large", "ap", "large", None),
+        ("mar_1", "ar_1", "all", None), ("mar_10", "ar_10", "all", None),
+        ("mar_100", "ar_100", "all", None),
+        ("mar_small", "ar_100", "small", None),
+        ("mar_medium", "ar_100", "medium", None),
+        ("mar_large", "ar_100", "large", None),
+    ]:
+        cond = f"area = '{area}'" + (
+            "" if thr is None else f" AND thr_idx = {thr}"
+        )
+        scalars.append(
+            "coalesce(round(avg(CASE WHEN "
+            f'{cond} THEN {col} END), 6), -1.0) AS "{alias}"'
+        )
+    cls_json = (
+        """'{{' || coalesce(string_agg('"cat_' || CAST(cls AS VARCHAR) || '":"' || printf('%.6f', COALESCE(round({v}, 6), -1.0)) || '"', ',' ORDER BY 'cat_' || CAST(cls AS VARCHAR)), '') || '}}'"""
+    )
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{_MAP_DOC_POOLS_PATH}/*.parquet')),
+totals AS (SELECT doc_id, {", ".join(scalars)} FROM t GROUP BY doc_id),
+perc AS (
+    SELECT doc_id, cls, avg(ap) AS cls_map, avg(ar_100) AS cls_mar
+    FROM t WHERE area = 'all' AND cls IS NOT NULL GROUP BY doc_id, cls
+),
+pj AS (
+    SELECT doc_id,
+           {cls_json.format(v="cls_map")} AS map_per_class,
+           {cls_json.format(v="cls_mar")} AS mar_100_per_class
+    FROM perc GROUP BY doc_id
+)
+SELECT totals.*,
+       coalesce(pj.map_per_class, '{{}}') AS map_per_class,
+       coalesce(pj.mar_100_per_class, '{{}}') AS mar_100_per_class
+FROM totals LEFT JOIN pj USING (doc_id)
+"""
+
+
+@query("layout_map", _map_doc_oracle())
 def layout_map(spark, sf_dir):
-    """COCO-protocol mAP per document over layout boxes."""
-    from docling_metrics_spark.operators.udfs import map_doc_udf
+    """COCO-protocol mAP per document over layout boxes. The kernel's
+    internal per-(cls, thr_idx, area) AP/AR pools are emitted long-form
+    and materialized; Spark and the DuckDB oracle both re-derive the full
+    per-doc surface (nan-skipping means, −1.0 sentinels, per-class JSONs)
+    from that table — the cross-engine gate on the surface-assembly
+    algebra (map_layout_evaluator.py:146-199 semantics); the greedy
+    matching + 101-point AP stays kernel-side, fuzz-pinned by pytest."""
+    from docling_metrics_spark.operators.udfs import map_detail_udf
 
     docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["layout_map"])
-    return (
-        docs.withColumn("m", map_doc_udf("gt_boxes", "pred_boxes"))
-        .select("doc_id", "m.*")
+    (
+        docs.select(
+            "doc_id",
+            F.explode_outer(
+                map_detail_udf("gt_boxes", "pred_boxes")
+            ).alias("s"),
+        )
+        .select("doc_id", "s.*")
+        .write.mode("overwrite")
+        .parquet(_MAP_DOC_POOLS_PATH)
+    )
+    t = spark.read.parquet(_MAP_DOC_POOLS_PATH)
+
+    def _ms(col_, area, thr=None):
+        cond = F.col("area") == area
+        if thr is not None:
+            cond = cond & (F.col("thr_idx") == thr)
+        return F.coalesce(
+            F.round(F.avg(F.when(cond, F.col(col_))), 6), F.lit(-1.0)
+        )
+
+    totals = t.groupBy("doc_id").agg(
+        _ms("ap", "all").alias("map"),
+        _ms("ap", "all", 0).alias("map_50"),
+        _ms("ap", "all", 5).alias("map_75"),
+        _ms("ap", "small").alias("map_small"),
+        _ms("ap", "medium").alias("map_medium"),
+        _ms("ap", "large").alias("map_large"),
+        _ms("ar_1", "all").alias("mar_1"),
+        _ms("ar_10", "all").alias("mar_10"),
+        _ms("ar_100", "all").alias("mar_100"),
+        _ms("ar_100", "small").alias("mar_small"),
+        _ms("ar_100", "medium").alias("mar_medium"),
+        _ms("ar_100", "large").alias("mar_large"),
+    )
+
+    def _cls_json(val_col: str) -> F.Column:
+        return F.to_json(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
+                            F.format_string(
+                                "%.6f",
+                                F.coalesce(F.col(val_col), F.lit(-1.0)),
+                            ).alias("v"),
+                        )
+                    )
+                )
+            )
+        )
+
+    per_cls = (
+        t.filter((F.col("area") == "all") & F.col("cls").isNotNull())
+        .groupBy("doc_id", "cls")
+        .agg(
+            F.round(F.avg("ap"), 6).alias("cls_map"),
+            F.round(F.avg("ar_100"), 6).alias("cls_mar"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            _cls_json("cls_map").alias("map_per_class"),
+            _cls_json("cls_mar").alias("mar_100_per_class"),
+        )
+    )
+    joined = totals.join(per_cls, "doc_id", "left")
+    return joined.select(
+        *[c for c in joined.columns if not c.endswith("per_class")],
+        F.coalesce("map_per_class", F.lit("{}")).alias("map_per_class"),
+        F.coalesce("mar_100_per_class", F.lit("{}")).alias(
+            "mar_100_per_class"
+        ),
     )
 
 
