@@ -297,6 +297,35 @@ def test_teds_bracket_mode_agrees_with_html_mode(spark):
     assert checked > 100
 
 
+def test_materialized_derivations_are_jvm_only(spark):
+    """The round-4 oracle pattern splits each converted query into a
+    Python kernel stage (materialized to parquet) and a pure-JVM
+    re-derivation the DuckDB oracle mirrors. The returned plan must read
+    the parquet and contain NO Python nodes — otherwise a re-derivation
+    could silently re-execute the UDF subtree (the terminal-orderBy
+    pitfall's cousin) and the 'shared intermediate' claim would be
+    false."""
+    from docling_metrics_spark.plans import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (
+        Q.layout_map,
+        Q.teds_table_pairs,
+        Q.teds_cells_pairs,
+        Q.teds_bracket_pairs,
+        Q.grits_cells_pairs,
+        Q.token_edit_distance_pairs,
+    ):
+        plan = _plan(fn(spark, sf))
+        for node in (
+            "ArrowEvalPython",
+            "MapInPandas",
+            "FlatMapGroupsInPandas",
+            "BatchEvalPython",
+        ):
+            assert node not in plan, (fn.__name__, node)
+
+
 def test_registry_fits_driver_window():
     """The driver's correctness gate records only the first 50 registered
     queries (VERDICT r2 #2): the registry must stay ≤50 so EVERY query gets
