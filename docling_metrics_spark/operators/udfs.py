@@ -169,6 +169,9 @@ TOKEN_PAIR_TYPE = StructType(
         StructField("tokens_b", ArrayType(StringType())),
         StructField("enc_a", StringType()),
         StructField("enc_b", StringType()),
+        # tokenizer failure → the kernel's all-(-1) sentinel row; the
+        # oracle mirrors the flag so the error channel is cross-engine too
+        StructField("tok_err", BooleanType()),
     ]
     + list(TEXT_SCORES_TYPE.fields)
 )
@@ -206,16 +209,31 @@ def token_pair_udf(text_a: pd.Series, text_b: pd.Series) -> pd.DataFrame:
     arrays, the codepoint-encoded token strings, and the six text metrics.
     The materialized (tokens, encodings) are the shared input from which
     the DuckDB oracle independently re-derives every score column."""
-    from docling_metrics_spark.kernels.textmetrics import evaluate_token_pair
+    from docling_metrics_spark.kernels.textmetrics import (
+        DEFAULT_ERROR_SCORE,
+        TextPairScores,
+        evaluate_token_pair,
+    )
     from docling_metrics_spark.kernels.tokenize import treebank_tokenize
 
     rows = []
     for a, b in zip(text_a, text_b):
-        ta = treebank_tokenize(a if a is not None else "")
-        tb = treebank_tokenize(b if b is not None else "")
+        try:
+            ta = treebank_tokenize(a if a is not None else "")
+            tb = treebank_tokenize(b if b is not None else "")
+        except Exception:
+            # same error channel as evaluate_text_pair: one bad row
+            # degrades one row (all-sentinel), never the task
+            rows.append(
+                {"tokens_a": [], "tokens_b": [], "enc_a": None,
+                 "enc_b": None, "tok_err": True}
+                | TextPairScores(*([DEFAULT_ERROR_SCORE] * 6)).__dict__
+            )
+            continue
         ea, eb = _encode_token_pair(ta, tb)
         rows.append(
-            {"tokens_a": ta, "tokens_b": tb, "enc_a": ea, "enc_b": eb}
+            {"tokens_a": ta, "tokens_b": tb, "enc_a": ea, "enc_b": eb,
+             "tok_err": False}
             | evaluate_token_pair(ta, tb).__dict__
         )
     return pd.DataFrame(rows)

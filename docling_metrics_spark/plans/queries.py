@@ -943,7 +943,7 @@ _TOKEN_PAIRS_PATH = f"/tmp/dms_token_pairs_{_SRC_TAG}"
 _TOKEN_PAIRS_ORACLE = f"""
 WITH p AS (
   SELECT gt_id, pred_id, tokens_a AS ta, tokens_b AS tb, enc_a, enc_b,
-         len(tokens_a) AS la, len(tokens_b) AS lb
+         tok_err, len(tokens_a) AS la, len(tokens_b) AS lb
   FROM read_parquet('{_TOKEN_PAIRS_PATH}/*.parquet')
 ),
 ns AS (SELECT unnest(range(1, 5)) AS n),
@@ -1008,25 +1008,31 @@ sets AS (
   FROM p
 )
 SELECT p.gt_id, p.pred_id,
-  round(CASE WHEN sets.sa = 0 OR sets.sb = 0 THEN -1.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN sets.sa = 0 OR sets.sb = 0 THEN -1.0
              WHEN sets.si = 0 THEN 0.0
              ELSE 1.0 / (0.5 / (CAST(sets.si AS DOUBLE) / sets.sb)
                          + 0.5 / (CAST(sets.si AS DOUBLE) / sets.sa))
         END, 6) AS f1_score,
-  round(CASE WHEN sets.sb = 0 THEN -1.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN sets.sb = 0 THEN -1.0
              ELSE CAST(sets.si AS DOUBLE) / sets.sb END, 6) AS precision_score,
-  round(CASE WHEN sets.sa = 0 THEN -1.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN sets.sa = 0 THEN -1.0
              ELSE CAST(sets.si AS DOUBLE) / sets.sa END, 6) AS recall_score,
-  round(CASE WHEN greatest(p.la, p.lb) = 0 THEN 0.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN greatest(p.la, p.lb) = 0 THEN 0.0
              ELSE CAST(levenshtein(p.enc_a, p.enc_b) AS DOUBLE)
                   / greatest(p.la, p.lb) END, 6) AS edit_distance_score,
-  round(CASE WHEN p.lb = 0 THEN -1.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN p.lb = 0 THEN -1.0
              WHEN p.la = 0 THEN 0.0
              WHEN bl.any_zero THEN 0.0
              ELSE (CASE WHEN p.la >= p.lb THEN 1.0
                         ELSE exp(1.0 - CAST(p.lb AS DOUBLE) / p.la) END)
                   * exp(bl.logsum / 4) END, 6) AS bleu_score,
-  round(CASE WHEN coalesce(met.matches, 0) = 0 THEN 0.0
+  round(CASE WHEN p.tok_err THEN -1.0
+             WHEN coalesce(met.matches, 0) = 0 THEN 0.0
              ELSE (1.0 - 0.5 * pow(CAST(met.chunks AS DOUBLE) / met.matches, 3))
                   * ((CAST(met.matches AS DOUBLE) / p.lb)
                      * (CAST(met.matches AS DOUBLE) / p.la))

@@ -83,15 +83,28 @@ def test_oracle_sql_matches_kernels(tmp_path):
                 "tokens_b": tb,
                 "enc_a": ea,
                 "enc_b": eb,
+                "tok_err": False,
             }
             | evaluate_token_pair(ta, tb).__dict__
         )
+    # tokenizer-failure sentinel row: the oracle must mirror the error
+    # channel (all six scores −1.0), not derive scores from empty tokens
+    err_id = len(cases)
+    rows.append(
+        {"gt_id": err_id, "pred_id": err_id + 1000, "tokens_a": [],
+         "tokens_b": [], "enc_a": None, "enc_b": None, "tok_err": True,
+         "f1_score": -1.0, "precision_score": -1.0, "recall_score": -1.0,
+         "edit_distance_score": -1.0, "bleu_score": -1.0,
+         "meteor_score": -1.0}
+    )
     pd.DataFrame(rows).to_parquet(tmp_path / "part0.parquet")
     con = duckdb.connect()
     con.execute("SET threads=2")
     sql = _TOKEN_PAIRS_ORACLE.replace(_TOKEN_PAIRS_PATH, str(tmp_path))
     res = con.execute(sql).df().set_index("gt_id").sort_index()
-    assert len(res) == len(cases)
+    assert len(res) == len(cases) + 1
+    for col in SCORE_COLS:
+        assert float(res.loc[err_id, col]) == -1.0, col
     for i, (ta, tb) in enumerate(cases):
         ks = evaluate_token_pair(ta, tb).__dict__
         for col in SCORE_COLS:
