@@ -44,6 +44,11 @@ def _media_rows():
     rows.append({"doc_id": "bad3", "media_ref": "m://bad3",
                  "media_type": "video", "width": 1, "height": 1,
                  "payload": HEADER.pack(b"DMSK", 9, 1, 1, 4) + bytes(4)})
+    # magic-valid but TRUNCATED below the 13-byte header: the engine's
+    # struct.error path; substring-past-end must not forge a header in SQL
+    rows.append({"doc_id": "bad4", "media_ref": "m://bad4",
+                 "media_type": "image", "width": 1, "height": 1,
+                 "payload": b"DMSK\x00\x00\x00"})
     return rows
 
 
