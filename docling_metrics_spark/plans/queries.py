@@ -2886,11 +2886,24 @@ _MEDIA_PATH = f"/tmp/dms_media_{_SRC_TAG}"
 def _materialize_media(spark, sf_dir, cap):
     """Explode media spans → synthesized binary payloads, persisted once so
     both multimodal queries decode from the same table and the DuckDB
-    oracles can read the raw BLOBs."""
+    oracles can read the raw BLOBs. Cached behind an input marker (the
+    oracle SQL embeds one static path, so the cache key can't live in the
+    path — same pattern as :func:`_tore_cm_table`)."""
+    import os
+
     from docling_metrics_spark.multimodal import media_table
 
-    docs = _corpus(spark, sf_dir, cap=cap)
-    media_table(docs).write.mode("overwrite").parquet(_MEDIA_PATH)
+    marker = os.path.join(_MEDIA_PATH, "_DMS_INPUT")
+    tag = f"{sf_dir}|{cap}"
+    if not (
+        os.path.exists(os.path.join(_MEDIA_PATH, "_SUCCESS"))
+        and os.path.exists(marker)
+        and open(marker).read() == tag
+    ):
+        docs = _corpus(spark, sf_dir, cap=cap)
+        media_table(docs).write.mode("overwrite").parquet(_MEDIA_PATH)
+        with open(marker, "w") as f:
+            f.write(tag)
     return spark.read.parquet(_MEDIA_PATH)
 
 
