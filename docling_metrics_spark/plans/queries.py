@@ -1041,7 +1041,10 @@ SELECT p.gt_id, p.pred_id,
                   * ((CAST(met.matches AS DOUBLE) / p.lb)
                      * (CAST(met.matches AS DOUBLE) / p.la))
                   / (0.9 * (CAST(met.matches AS DOUBLE) / p.lb)
-                     + 0.1 * (CAST(met.matches AS DOUBLE) / p.la))
+                     -- (1 - alpha) evaluated in Python: 1-0.9 is one ulp
+                     -- BELOW the literal 0.1 — embed the kernel's exact
+                     -- double (same trick as _tsj_oracle's repr budget)
+                     + {repr(1.0 - 0.9)} * (CAST(met.matches AS DOUBLE) / p.la))
         END, 6) AS meteor_score
 FROM p
 JOIN sets ON sets.gt_id = p.gt_id
@@ -1253,23 +1256,6 @@ def layout_map(spark, sf_dir):
         _ms("ar_100", "large").alias("mar_large"),
     )
 
-    def _cls_json(val_col: str) -> F.Column:
-        return F.to_json(
-            F.map_from_entries(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
-                            F.format_string(
-                                "%.6f",
-                                F.coalesce(F.col(val_col), F.lit(-1.0)),
-                            ).alias("v"),
-                        )
-                    )
-                )
-            )
-        )
-
     per_cls = (
         t.filter((F.col("area") == "all") & F.col("cls").isNotNull())
         .groupBy("doc_id", "cls")
@@ -1279,8 +1265,8 @@ def layout_map(spark, sf_dir):
         )
         .groupBy("doc_id")
         .agg(
-            _cls_json("cls_map").alias("map_per_class"),
-            _cls_json("cls_mar").alias("mar_100_per_class"),
+            _per_class_json("cls_map").alias("map_per_class"),
+            _per_class_json("cls_mar").alias("mar_100_per_class"),
         )
     )
     joined = totals.join(per_cls, "doc_id", "left")
@@ -1290,6 +1276,32 @@ def layout_map(spark, sf_dir):
         F.coalesce("mar_100_per_class", F.lit("{}")).alias(
             "mar_100_per_class"
         ),
+    )
+
+
+def _per_class_json(val_col: str) -> F.Column:
+    """Aggregate per-class values into one key-sorted JSON string column
+    (reference map_per_class / mar_100_per_class,
+    map_layout_evaluator.py:164-171). MapType columns are unhashable in
+    pandas and crash generic row canonicalizers (VERDICT r2 #1); values
+    are HALF_UP %.6f strings (-1.000000 = empty-pool sentinel) so DuckDB
+    oracles reproduce them exactly — float repr is not portable across
+    engines, a fixed-width decimal is. This format is a cross-engine
+    contract shared by the per-doc and dataset mAP surfaces."""
+    return F.to_json(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
+                        F.format_string(
+                            "%.6f",
+                            F.coalesce(F.col(val_col), F.lit(-1.0)),
+                        ).alias("v"),
+                    )
+                )
+            )
+        )
     )
 
 
@@ -1309,39 +1321,54 @@ def _scale_boxes_half(col):
 _TORE_CM_PATH = f"/tmp/dms_tore_cm_{_SRC_TAG}"
 
 
+def _cached_materialize(spark, path: str, tag: str, build):
+    """Materialize ``build()`` to the static ``path`` and return the
+    read-back table. The oracle SQL strings embed these paths at import
+    time, so the cache key cannot live in the path — it lives in a
+    ``_DMS_INPUT`` marker recording which input (sf_dir, cap) produced the
+    table: within a gate run the shared kernel runs once, not once per
+    query; a tier switch invalidates and rebuilds."""
+    import os
+
+    marker = os.path.join(path, "_DMS_INPUT")
+    if not (
+        os.path.exists(os.path.join(path, "_SUCCESS"))
+        and os.path.exists(marker)
+        and open(marker).read() == tag
+    ):
+        build().write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write(tag)
+    return spark.read.parquet(path)
+
+
 def _tore_cm_table(spark, sf_dir):
     """Materialize the per-document flattened TORE confusion matrices
     (doc_id, cm ARRAY<DOUBLE>[(C+1)²]) to a fixed path — the shared
     intermediate all three TORE queries' DuckDB oracles re-aggregate (the
-    extraction_summary pattern, VERDICT r3 #1). The path must stay static
-    (the oracle SQL strings embed it at import time), so the cache is
-    keyed by a marker recording which (sf_dir, cap) produced it: within a
-    gate run the rasterize kernel — the dominant cost of the three TORE
-    queries — runs once, not three times; a tier switch invalidates."""
-    import os
-
+    extraction_summary pattern, VERDICT r3 #1). The rasterize kernel — the
+    dominant cost of the three TORE queries — runs once per (tier, cap)
+    via :func:`_cached_materialize`."""
     from docling_metrics_spark.kernels.datagen_meta import N_CATEGORIES
     from docling_metrics_spark.operators.udfs import make_tore_partial_udf
 
-    marker = os.path.join(_TORE_CM_PATH, "_DMS_INPUT")
-    tag = f"{sf_dir}|{CORPUS_CAPS['tore_confusion']}"
-    if not (
-        os.path.exists(os.path.join(_TORE_CM_PATH, "_SUCCESS"))
-        and os.path.exists(marker)
-        and open(marker).read() == tag
-    ):
+    def build():
         docs = _corpus(spark, sf_dir, cap=CORPUS_CAPS["tore_confusion"])
         udf = make_tore_partial_udf(N_CATEGORIES, 640, 811)
-        docs.select(
+        return docs.select(
             "doc_id",
             udf(
                 _scale_boxes_half(F.col("gt_boxes")),
                 _scale_boxes_half(F.col("pred_boxes")),
             ).alias("cm"),
-        ).write.mode("overwrite").parquet(_TORE_CM_PATH)
-        with open(marker, "w") as f:
-            f.write(tag)
-    return spark.read.parquet(_TORE_CM_PATH)
+        )
+
+    return _cached_materialize(
+        spark,
+        _TORE_CM_PATH,
+        f"{sf_dir}|{CORPUS_CAPS['tore_confusion']}",
+        build,
+    )
 
 
 def _tore_sql_parts() -> dict[str, str]:
@@ -2886,25 +2913,15 @@ _MEDIA_PATH = f"/tmp/dms_media_{_SRC_TAG}"
 def _materialize_media(spark, sf_dir, cap):
     """Explode media spans → synthesized binary payloads, persisted once so
     both multimodal queries decode from the same table and the DuckDB
-    oracles can read the raw BLOBs. Cached behind an input marker (the
-    oracle SQL embeds one static path, so the cache key can't live in the
-    path — same pattern as :func:`_tore_cm_table`)."""
-    import os
-
+    oracles can read the raw BLOBs (cache protocol: :func:`_cached_materialize`)."""
     from docling_metrics_spark.multimodal import media_table
 
-    marker = os.path.join(_MEDIA_PATH, "_DMS_INPUT")
-    tag = f"{sf_dir}|{cap}"
-    if not (
-        os.path.exists(os.path.join(_MEDIA_PATH, "_SUCCESS"))
-        and os.path.exists(marker)
-        and open(marker).read() == tag
-    ):
-        docs = _corpus(spark, sf_dir, cap=cap)
-        media_table(docs).write.mode("overwrite").parquet(_MEDIA_PATH)
-        with open(marker, "w") as f:
-            f.write(tag)
-    return spark.read.parquet(_MEDIA_PATH)
+    return _cached_materialize(
+        spark,
+        _MEDIA_PATH,
+        f"{sf_dir}|{cap}",
+        lambda: media_table(_corpus(spark, sf_dir, cap=cap)),
+    )
 
 
 def _hexbyte(col: str, i: int) -> str:
@@ -3492,29 +3509,22 @@ def markush_quality(spark, sf_dir):
     ).select("sid", "s.*").write.mode("overwrite").parquet(
         _MARKUSH_SCORED_PATH
     )
-    scored = spark.read.parquet(_MARKUSH_SCORED_PATH).select(
-        F.struct(*[
-            F.col(c) for c in (
-                "valid", "tanimoto", "string_equality", "r", "m", "sg",
-                "num_fragments_gt", "cxsmi_equality",
-            )
-        ]).alias("s")
-    )
+    scored = spark.read.parquet(_MARKUSH_SCORED_PATH)
     return scored.agg(
         F.count("*").alias("sample_count"),
-        F.round(F.avg("s.tanimoto"), 3).alias("mean_tanimoto"),
-        F.round(F.avg(F.col("s.valid").cast("double")), 3).alias("validity_rate"),
-        F.round(F.avg(F.col("s.string_equality").cast("double")), 3).alias(
+        F.round(F.avg("tanimoto"), 3).alias("mean_tanimoto"),
+        F.round(F.avg(F.col("valid").cast("double")), 3).alias("validity_rate"),
+        F.round(F.avg(F.col("string_equality").cast("double")), 3).alias(
             "string_equality_rate"
         ),
-        F.round(F.avg("s.r"), 3).alias("mean_r"),
-        F.round(F.avg("s.m"), 3).alias("mean_m"),
-        F.round(F.avg("s.sg"), 3).alias("mean_sg"),
+        F.round(F.avg("r"), 3).alias("mean_r"),
+        F.round(F.avg("m"), 3).alias("mean_m"),
+        F.round(F.avg("sg"), 3).alias("mean_sg"),
         F.round(
             F.avg(
                 F.when(
-                    F.col("s.num_fragments_gt") > 0,
-                    F.col("s.cxsmi_equality").cast("double"),
+                    F.col("num_fragments_gt") > 0,
+                    F.col("cxsmi_equality").cast("double"),
                 )
             ),
             3,
@@ -3820,30 +3830,8 @@ def _dataset_map_df(docs, materialize_path: str | None = None):
         _area("rec_100", "medium").alias("mar_medium"),
         _area("rec_100", "large").alias("mar_large"),
     )
-    # per-class dicts (reference map_per_class / mar_100_per_class,
-    # map_layout_evaluator.py:164-171): mean over thresholds at area=all,
-    # emitted as key-sorted JSON strings — MapType columns are unhashable
-    # in pandas and crash generic row canonicalizers (VERDICT r2 #1).
-    # Values are HALF_UP %.6f strings (-1.000000 = empty pool, the per-doc
-    # surface's sentinel) so the DuckDB oracle reproduces them exactly —
-    # float repr is not portable across engines, a fixed-width decimal is.
-    def _cls_json(val_col: str) -> F.Column:
-        return F.to_json(
-            F.map_from_entries(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
-                            F.format_string(
-                                "%.6f",
-                                F.coalesce(F.col(val_col), F.lit(-1.0)),
-                            ).alias("v"),
-                        )
-                    )
-                )
-            )
-        )
-
+    # per-class dicts: mean over thresholds at area=all, emitted via the
+    # shared cross-engine JSON contract (:func:`_per_class_json`)
     per_cls = (
         aps.filter(F.col("area") == "all")
         .groupBy("cls")
@@ -3852,8 +3840,8 @@ def _dataset_map_df(docs, materialize_path: str | None = None):
             F.round(F.avg("rec_100"), 6).alias("cls_mar"),
         )
         .agg(
-            _cls_json("cls_map").alias("map_per_class"),
-            _cls_json("cls_mar").alias("mar_100_per_class"),
+            _per_class_json("cls_map").alias("map_per_class"),
+            _per_class_json("cls_mar").alias("mar_100_per_class"),
         )
     )
     return totals.crossJoin(per_cls)
