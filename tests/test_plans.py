@@ -336,3 +336,22 @@ def test_registry_fits_driver_window():
     oracles = E.oracle_sql()
     assert len(qs) <= 50, f"registry grew to {len(qs)} — driver checks 50"
     assert set(oracles) <= set(qs)
+
+
+def test_cached_materialize_invalidates_on_tag_change(spark, tmp_path):
+    """The marker-file cache behind the TORE cm / media tables: same tag →
+    the build thunk runs once; a tag change (tier/cap switch) rebuilds."""
+    from docling_metrics_spark.plans.queries import _cached_materialize
+
+    path = str(tmp_path / "cache")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(3).withColumnRenamed("id", "v")
+
+    assert _cached_materialize(spark, path, "sfA|10", build).count() == 3
+    assert _cached_materialize(spark, path, "sfA|10", build).count() == 3
+    assert len(calls) == 1, "same tag must not rebuild"
+    assert _cached_materialize(spark, path, "sfB|10", build).count() == 3
+    assert len(calls) == 2, "tag change must rebuild"
