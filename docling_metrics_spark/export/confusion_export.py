@@ -213,7 +213,7 @@ def export_tore_report(
         partial_udf("gt_boxes", "pred_boxes").alias("cm"),
     )
     summed_rows = salted_array_sum(
-        partials.select("cm"), "cm", n_salts=n_salts
+        partials.select("cm"), "cm", n_salts=n_salts, with_count=True
     ).collect()
     n_cm = n_classes + 1
     # empty corpus → empty slot sum → all-zero matrix (report still valid)
@@ -224,7 +224,8 @@ def export_tore_report(
         else np.zeros((n_cm, n_cm))
     )
 
-    num_images = docs.count()
+    # rides the slot-sum job (with_count) — no second count() job
+    num_images = int(summed_rows[0].n_rows) if summed_rows else 0
     headers = ["background"] + [f"cat_{k}" for k in range(n_classes)]
     meta = export_dataset_report(
         matrix,

@@ -83,11 +83,15 @@ def salted_agg(
 
 
 def salted_array_sum(
-    df: DataFrame, array_col: str, n_salts: int = 32
+    df: DataFrame, array_col: str, n_salts: int = 32,
+    with_count: bool = False,
 ) -> DataFrame:
     """Element-wise sum of an ARRAY<DOUBLE> column — the distributed twin of
     the reference's confusion-matrix summation (tore_layout_evaluator.py:
-    224-245). Returns a single-row DataFrame with column ``summed``.
+    224-245). Returns a single-row DataFrame with column ``summed`` (plus
+    ``n_rows``, the input row count, when ``with_count`` — it rides the
+    slot-sum aggregation so callers needing both pay ONE job, not a
+    separate ``df.count()``).
 
     Shape: posexplode to (slot index, value) rows, then a plain
     ``groupBy(idx).sum(val)``. Spark's hash aggregate combines map-side, so
@@ -98,16 +102,17 @@ def salted_array_sum(
     the slot index, whose cardinality equals the array length, and partial
     aggregation already fans the hot keys over all map tasks."""
     exploded = df.select(F.posexplode(array_col).alias("_idx", "_val"))
-    summed = (
-        exploded.groupBy("_idx")
-        .agg(F.sum("_val").alias("_sum"))
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("_idx", "_sum"))
-            ).alias("_pairs")
-        )
-        .select(
-            F.transform(F.col("_pairs"), lambda s: s._sum).alias("summed")
-        )
-    )
-    return summed
+    slot_aggs = [F.sum("_val").alias("_sum")]
+    if with_count:
+        # every row contributes each slot exactly once, so any slot's row
+        # count IS the input row count
+        slot_aggs.append(F.count("*").alias("_n"))
+    final_aggs = [
+        F.array_sort(F.collect_list(F.struct("_idx", "_sum"))).alias("_pairs")
+    ]
+    if with_count:
+        final_aggs.append(F.max("_n").alias("_n"))
+    out_cols = [F.transform(F.col("_pairs"), lambda s: s._sum).alias("summed")]
+    if with_count:
+        out_cols.append(F.coalesce("_n", F.lit(0)).alias("n_rows"))
+    return exploded.groupBy("_idx").agg(*slot_aggs).agg(*final_aggs).select(*out_cols)

@@ -162,6 +162,14 @@ def test_salted_array_sum(spark):
     got = salted_array_sum(df, "arr", n_salts=4).collect()[0].summed
     assert got == [111.0, 222.0, 333.0]
 
+    # with_count: the row count rides the slot-sum job (no second count())
+    row = salted_array_sum(df, "arr", n_salts=4, with_count=True).collect()[0]
+    assert row.summed == [111.0, 222.0, 333.0]
+    assert row.n_rows == 3
+    empty = spark.createDataFrame([], "arr array<double>")
+    row = salted_array_sum(empty, "arr", with_count=True).collect()[0]
+    assert row.summed == [] and row.n_rows == 0
+
 
 def test_checkpoint_resume(spark, docs, tmp_path):
     """Kill after K buckets, rerun, assert no recomputation + identical finals."""
