@@ -12,8 +12,17 @@ Protocol (north rule, BASELINE.json):
 3. Report docs/sec at both levels and
    efficiency = (throughput_4N / throughput_N) / 4; gate is ≥ 0.8.
 
-Usage:  python tools/bench_scaling.py [n_docs]        # orchestrator
-        python tools/bench_scaling.py --worker M P D  # one measured run
+Usage:  python tools/bench_scaling.py [n_docs]           # orchestrator
+        python tools/bench_scaling.py --submit [n_docs]  # via spark-submit
+        python tools/bench_scaling.py --worker M P D     # one measured run
+
+``--submit`` runs the same tier protocol through the REAL ``spark-submit
+--py-files`` binary (tools/submit_job.py, engine imported from the
+content-addressed zip only, cwd outside the repo) — the north rule's
+literal packaging clause. Timing then includes Python-worker spin-up
+(no warm-up job is possible before the submitted job), so absolute
+numbers sit slightly below the in-process protocol; the N→4N ratio is
+the quantity of interest.
 """
 
 from __future__ import annotations
@@ -90,7 +99,28 @@ def worker(master: str, shuffle_partitions: int, corpus: str) -> None:
     spark.stop()
 
 
-def orchestrate(n_docs: int) -> dict:
+def _submit_cmd(master: str, shuffle: int, out_json: str) -> list[str]:
+    """spark-submit invocation for one tier: engine from the zip alone."""
+    import shutil
+
+    from docling_metrics_spark.shipping import build_zip
+
+    spark_submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return [
+        spark_submit,
+        "--master", master,
+        "--conf", f"spark.sql.shuffle.partitions={shuffle}",
+        "--conf", "spark.sql.files.minPartitionNum=128",
+        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=512",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", build_zip(),
+        os.path.join(repo, "tools", "submit_job.py"),
+        CORPUS, out_json,
+    ]
+
+
+def orchestrate(n_docs: int, via_submit: bool = False) -> dict:
     from docling_metrics_spark.datagen import write_corpus
     from docling_metrics_spark.session import build_session
 
@@ -116,23 +146,36 @@ def orchestrate(n_docs: int) -> dict:
             # stale python daemons from a previous JVM steal pinned cores
             subprocess.run(["pkill", "-f", "pyspark.daemon"], capture_output=True)
             time.sleep(2)
+            if via_submit:
+                # zip-only imports: strip PYTHONPATH, run from /tmp
+                env = {k: v for k, v in os.environ.items()
+                       if k != "PYTHONPATH"}
+                env["PYSPARK_PYTHON"] = sys.executable
+                env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+                out_json = f"/tmp/dms_submit_scale_{master.strip('local[]')}.json"
+                cmd = ["taskset", "-c", cores] + _submit_cmd(
+                    master, shuffle, out_json
+                )
+                cwd = "/tmp"
+                tag = "SUBMIT_RESULT "
+            else:
+                env = {**os.environ, "PYTHONPATH": os.path.dirname(
+                    os.path.dirname(os.path.abspath(__file__)))}
+                cmd = ["taskset", "-c", cores, sys.executable,
+                       os.path.abspath(__file__), "--worker", master,
+                       str(shuffle), CORPUS]
+                cwd = None
+                tag = "WORKER_RESULT "
             out = subprocess.run(
-                ["taskset", "-c", cores, sys.executable,
-                 os.path.abspath(__file__), "--worker", master, str(shuffle),
-                 CORPUS],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "PYTHONPATH": os.path.dirname(
-                    os.path.dirname(os.path.abspath(__file__)))},
+                cmd, capture_output=True, text=True, env=env, cwd=cwd
             )
-            line = [l for l in out.stdout.splitlines()
-                    if l.startswith("WORKER_RESULT ")]
+            line = [l for l in out.stdout.splitlines() if l.startswith(tag)]
             if not line:
                 sys.stderr.write(out.stdout[-2000:] + out.stderr[-4000:])
                 failures += 1  # transient python-worker crash: retry
                 continue
             successes += 1
-            r = json.loads(line[0][len("WORKER_RESULT "):])
+            r = json.loads(line[0][len(tag):])
             if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
                 best = r
         if best is None:
@@ -173,5 +216,9 @@ def orchestrate(n_docs: int) -> dict:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--submit":
+        orchestrate(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20000, via_submit=True
+        )
     else:
         orchestrate(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
