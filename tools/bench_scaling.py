@@ -19,10 +19,9 @@ Usage:  python tools/bench_scaling.py [n_docs]           # orchestrator
 ``--submit`` runs the same tier protocol through the REAL ``spark-submit
 --py-files`` binary (tools/submit_job.py, engine imported from the
 content-addressed zip only, cwd outside the repo) — the north rule's
-literal packaging clause. Timing then includes Python-worker spin-up
-(no warm-up job is possible before the submitted job), so absolute
-numbers sit slightly below the in-process protocol; the N→4N ratio is
-the quantity of interest.
+literal packaging clause. The submitted job runs the same warm-up pass
+as the in-process worker before its timer starts, so the two protocols
+time the same region.
 """
 
 from __future__ import annotations

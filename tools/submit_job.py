@@ -19,7 +19,9 @@ import json
 import sys
 import time
 
-from pyspark.sql import SparkSession
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
+from pyspark.sql import SparkSession, functions as F
 
 
 def main() -> None:
@@ -27,6 +29,23 @@ def main() -> None:
     spark = SparkSession.builder.appName("dms-submit").getOrCreate()
     # resolved from the --py-files zip on driver and executors alike
     from docling_metrics_spark.pipeline import aggregate_metrics, run_pipeline
+
+    # Warm-up: JVM JIT + Python worker pool spin-up (pandas UDF so every
+    # task slot forks a worker and pays module import here, outside the
+    # timed region — the same protocol as tools/bench_scaling.py's
+    # in-process worker; a long-running cluster app amortizes this).
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        from docling_metrics_spark.kernels.textmetrics import evaluate_text_pair  # noqa: F401
+
+        return v * 1.0
+
+    n_slots = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_slots * 4, numPartitions=n_slots * 4)
+        .select(F.sum(_warm(F.col("id").cast("double"))))
+        .collect()
+    )
 
     docs = spark.read.parquet(corpus)
     t0 = time.time()
