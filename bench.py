@@ -114,16 +114,44 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
     # "query_stats".
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     stats: dict[str, dict] = {}
+
+    # Cached-intermediate transparency (VERDICT r4 #1/#2): queries built on
+    # _cached_materialize tables share kernel cost — whichever consumer
+    # runs first pays the build; later consumers (and later best-of-N
+    # iterations) read the cache. Disclose every timed run that consumed a
+    # pre-built table so per-query numbers are never silently credited.
+    from docling_metrics_spark.plans import queries as Q
+
+    shared: dict[str, list] = {}
+
+    def _invalidate(path: str) -> None:
+        marker = os.path.join(path, "_DMS_INPUT")
+        if os.path.exists(marker):
+            os.remove(marker)
+
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
         samples = []
         for _ in range(repeats):
+            if name == "extract_spans_pipeline":
+                # the flagship headline (docs/sec) must always price the
+                # LIVE fused kernel, so every flagship iteration rebuilds
+                # the shared per-doc table (extraction_summary then reuses
+                # it — disclosed below)
+                _invalidate(Q._FLAGSHIP_PERDOC_PATH)
+            ev0 = len(Q.CACHE_EVENTS)
             t0 = time.time()
             df = fn(spark, sf_dir)
             _force(df)
             samples.append(time.time() - t0)
+            reused = sorted(
+                {p for p, kind in Q.CACHE_EVENTS[ev0:] if kind == "reuse"}
+            )
+            if reused:
+                cur = set(shared.get(name, []))
+                shared[name] = sorted(cur | set(reused))
         timings[name] = round(min(samples), 3)
         if repeats > 1:
             srt = sorted(samples)
@@ -165,6 +193,16 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
         "unit": "sec",
         "queries": timings,
         "corpus_caps": caps,
+        # queries whose timed run consumed a _cached_materialize table a
+        # previous query/iteration already built (paths listed) — their
+        # per-query numbers exclude that build cost (VERDICT r4 #1/#2)
+        "shared_intermediates": shared,
+        # correct-by-design bounds inside verification/grading queries
+        # (declared, not silent — VERDICT r4 #5)
+        "verification_caps": dict(Q.VERIFICATION_CAPS),
+        # runtime counters (e.g. oracle-unencodable rows dropped — must
+        # be 0 unless a warning also fired)
+        "query_counters": dict(Q.QUERY_COUNTERS),
         "sf": sf_dir,
         "master": master,
         "n_docs": n_docs,

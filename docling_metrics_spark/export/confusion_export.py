@@ -224,7 +224,13 @@ def export_tore_report(
         else np.zeros((n_cm, n_cm))
     )
 
-    # rides the slot-sum job (with_count) — no second count() job
+    # rides the slot-sum job (with_count) — no second count() job.
+    # INVARIANT (ADVICE r4): n_rows counts rows via posexplode, which
+    # skips null/empty cm arrays — correct ONLY because
+    # make_tore_partial_udf emits a full (C+1)² array for EVERY document
+    # (even boxless ones rasterize to an all-background page). A partial
+    # UDF that could emit null/empty matrices would silently undercount
+    # images here; tests/test_confusion_export.py pins the boxless case.
     num_images = int(summed_rows[0].n_rows) if summed_rows else 0
     headers = ["background"] + [f"cat_{k}" for k in range(n_classes)]
     meta = export_dataset_report(

@@ -73,6 +73,31 @@ def test_export_tore_report_empty_corpus(spark, tmp_path):
     assert (got == 0).all()
 
 
+def test_export_tore_report_counts_boxless_docs(spark, tmp_path):
+    """num_images rides the posexplode slot-sum (n_rows), which skips
+    null/empty cm arrays — sound only while make_tore_partial_udf emits a
+    full matrix for EVERY document. Pin that invariant: boxless documents
+    (empty gt+pred arrays → all-background raster) must still be
+    counted."""
+    docs = generate_documents_df(spark, 7).selectExpr(
+        "doc_id",
+        "CAST(array() AS array<struct<category_id:int,bbox:array<double>,"
+        "score:double>>) AS gt_boxes",
+        "CAST(array() AS array<struct<category_id:int,bbox:array<double>,"
+        "score:double>>) AS pred_boxes",
+    )
+    meta = export_tore_report(
+        spark, docs, str(tmp_path / "boxless"), N_CATEGORIES, 64, 81
+    )
+    assert meta["num_images"] == 7
+    # all pixels are background agreement: cm[0,0] == 7 * 64 * 81
+    _, _, got = _read_matrix_csv(
+        str(tmp_path / "boxless" / "dataset" / "confusion_matrix.csv")
+    )
+    assert got[0, 0] == 7 * 64 * 81
+    assert got.sum() == got[0, 0]
+
+
 def test_export_tore_report_golden(spark, tmp_path):
     docs = generate_documents_df(spark, N_DOCS).selectExpr(
         "doc_id",

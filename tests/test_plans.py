@@ -237,15 +237,24 @@ def test_lsh_topk_plan_has_no_python_nodes(spark):
 
 
 def test_flagship_plan_shape(spark):
-    """The flagship is narrow (no Exchange) with exactly ONE Arrow UDF
+    """The flagship BUILD plan (what the shared per-doc materialize
+    executes) is narrow (no Exchange) with exactly ONE Arrow UDF
     evaluation — extract + text + TEDS + mAP fused into a single crossing
     (the unfused plan ran two chained ArrowEvalPython stages and shipped
-    the extracted spans across the boundary twice)."""
-    from docling_metrics_spark.plans.queries import extract_spans_pipeline
+    the extracted spans across the boundary twice). The registered query
+    returns the materialized table, so the plan under test is constructed
+    the same way `_flagship_perdoc_table`'s build() does."""
+    from docling_metrics_spark.pipeline import run_pipeline
+    from docling_metrics_spark.plans.queries import CORPUS_CAPS, _corpus
 
-    plan = extract_spans_pipeline(
-        spark, "/root/testdata/sf0.001"
-    )._jdf.queryExecution().explainString(
+    build_df = run_pipeline(
+        _corpus(
+            spark,
+            "/root/testdata/sf0.001",
+            cap=CORPUS_CAPS["extract_spans_pipeline"],
+        )
+    )
+    plan = build_df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
         )
@@ -309,6 +318,7 @@ def test_materialized_derivations_are_jvm_only(spark):
 
     sf = "/root/testdata/sf0.001"
     for fn in (
+        Q.extract_spans_pipeline,
         Q.layout_map,
         Q.teds_table_pairs,
         Q.teds_cells_pairs,

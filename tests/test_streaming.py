@@ -156,6 +156,33 @@ def test_streaming_extraction_matches_batch(spark, tmp_path):
     assert g == b and len(g) == 60
 
 
+def test_streaming_extract_summary_matches_batch_summary(spark):
+    """The registered streaming_extract query (stream → materialized
+    per-doc rows → salted aggregation, VERDICT r4 #4) must equal the batch
+    aggregation of the same source — the streaming twin of
+    extraction_summary's algebra, over the stream-materialized table."""
+    from docling_metrics_spark.pipeline import aggregate_metrics, run_pipeline
+    from docling_metrics_spark.plans.queries import (
+        _SRC_TAG,
+        _rounded_summary,
+        streaming_extract,
+    )
+
+    stream_row = streaming_extract(spark, "unused").collect()[0]
+    batch_row = (
+        _rounded_summary(
+            aggregate_metrics(
+                run_pipeline(
+                    spark.read.parquet(f"/tmp/dms_stream_corpus_{_SRC_TAG}")
+                )
+            )
+        )
+        .collect()[0]
+    )
+    assert stream_row.asDict() == batch_row.asDict()
+    assert stream_row["cnt_span_equal_int"] == 400
+
+
 def test_streaming_dedup_matches_batch(spark):
     """Streaming dropDuplicates == batch countDistinct on the same source
     (100 injected duplicate documents must be dropped)."""
