@@ -1294,53 +1294,67 @@ def layout_map(spark, sf_dir):
         build,
     )
 
-    def _ms(col_, area, thr=None):
-        cond = F.col("area") == area
+    # Single-scan, two-stage re-derivation (VERDICT r4 #3): the naive form
+    # (totals groupBy + per-class double groupBy + join) scanned the pool
+    # table twice and shuffled three times for a ~56k-row input, costing
+    # ~2s of pure job overhead at sf0.1. Instead aggregate once per
+    # (doc_id, cls) carrying conditional (sum, count) partials for each of
+    # the 12 scalar conditions, then merge per doc_id — sum(sum)/sum(count)
+    # is exactly the condition's mean, and the per-class JSON falls out of
+    # the same pass. One scan, two narrowing shuffles, no join. The
+    # algebra (nan-skipping means, −1.0 sentinels) is unchanged and stays
+    # pinned by the DuckDB oracle, which re-derives single-level.
+    specs = [
+        ("map", "ap", "all", None), ("map_50", "ap", "all", 0),
+        ("map_75", "ap", "all", 5), ("map_small", "ap", "small", None),
+        ("map_medium", "ap", "medium", None),
+        ("map_large", "ap", "large", None),
+        ("mar_1", "ar_1", "all", None), ("mar_10", "ar_10", "all", None),
+        ("mar_100", "ar_100", "all", None),
+        ("mar_small", "ar_100", "small", None),
+        ("mar_medium", "ar_100", "medium", None),
+        ("mar_large", "ar_100", "large", None),
+    ]
+
+    def _cond(area, thr):
+        c = F.col("area") == area
         if thr is not None:
-            cond = cond & (F.col("thr_idx") == thr)
-        return F.coalesce(
-            F.round(F.avg(F.when(cond, F.col(col_))), 6), F.lit(-1.0)
-        )
+            c = c & (F.col("thr_idx") == thr)
+        return c
 
-    totals = t.groupBy("doc_id").agg(
-        _ms("ap", "all").alias("map"),
-        _ms("ap", "all", 0).alias("map_50"),
-        _ms("ap", "all", 5).alias("map_75"),
-        _ms("ap", "small").alias("map_small"),
-        _ms("ap", "medium").alias("map_medium"),
-        _ms("ap", "large").alias("map_large"),
-        _ms("ar_1", "all").alias("mar_1"),
-        _ms("ar_10", "all").alias("mar_10"),
-        _ms("ar_100", "all").alias("mar_100"),
-        _ms("ar_100", "small").alias("mar_small"),
-        _ms("ar_100", "medium").alias("mar_medium"),
-        _ms("ar_100", "large").alias("mar_large"),
+    partials = []
+    for alias, col_, area, thr in specs:
+        v = F.when(_cond(area, thr), F.col(col_))
+        partials.append(F.sum(v).alias(f"s_{alias}"))
+        partials.append(F.count(v).alias(f"c_{alias}"))
+
+    is_all = F.col("area") == "all"
+    stage1 = t.groupBy("doc_id", "cls").agg(
+        *partials,
+        F.round(F.avg(F.when(is_all, F.col("ap"))), 6).alias("cls_map"),
+        F.round(F.avg(F.when(is_all, F.col("ar_100"))), 6).alias("cls_mar"),
+        F.count(F.when(is_all, F.lit(1))).alias("cls_n_all"),
     )
 
-    per_cls = (
-        t.filter((F.col("area") == "all") & F.col("cls").isNotNull())
-        .groupBy("doc_id", "cls")
-        .agg(
-            F.round(F.avg("ap"), 6).alias("cls_map"),
-            F.round(F.avg("ar_100"), 6).alias("cls_mar"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            _per_class_json("cls_map").alias("map_per_class"),
-            _per_class_json("cls_mar").alias("mar_100_per_class"),
-        )
-    )
-    joined = totals.join(per_cls, "doc_id", "left")
-    return joined.select(
-        *[c for c in joined.columns if not c.endswith("per_class")],
-        F.coalesce("map_per_class", F.lit("{}")).alias("map_per_class"),
-        F.coalesce("mar_100_per_class", F.lit("{}")).alias(
+    # a class key appears in the JSON iff the class has area='all' pool
+    # rows (the old filter-then-group semantics); all-null pools within
+    # those rows still print the -1.000000 sentinel via _per_class_json.
+    in_json = F.col("cls").isNotNull() & (F.col("cls_n_all") > 0)
+    return stage1.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.round(F.sum(f"s_{a}") / F.sum(f"c_{a}"), 6), F.lit(-1.0)
+            ).alias(a)
+            for a, _, _, _ in specs
+        ],
+        _per_class_json("cls_map", gate=in_json).alias("map_per_class"),
+        _per_class_json("cls_mar", gate=in_json).alias(
             "mar_100_per_class"
         ),
     )
 
 
-def _per_class_json(val_col: str) -> F.Column:
+def _per_class_json(val_col: str, gate: F.Column | None = None) -> F.Column:
     """Aggregate per-class values into one key-sorted JSON string column
     (reference map_per_class / mar_100_per_class,
     map_layout_evaluator.py:164-171). MapType columns are unhashable in
@@ -1348,22 +1362,20 @@ def _per_class_json(val_col: str) -> F.Column:
     are HALF_UP %.6f strings (-1.000000 = empty-pool sentinel) so DuckDB
     oracles reproduce them exactly — float repr is not portable across
     engines, a fixed-width decimal is. This format is a cross-engine
-    contract shared by the per-doc and dataset mAP surfaces."""
-    return F.to_json(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
-                        F.format_string(
-                            "%.6f",
-                            F.coalesce(F.col(val_col), F.lit(-1.0)),
-                        ).alias("v"),
-                    )
-                )
-            )
-        )
+    contract shared by the per-doc and dataset mAP surfaces. ``gate``
+    (optional) excludes rows from the JSON without a separate filter pass
+    — ``collect_list`` skips the NULLs an unmet gate produces, and an
+    empty map still prints ``{}``."""
+    entry = F.struct(
+        F.concat(F.lit("cat_"), F.col("cls")).alias("k"),
+        F.format_string(
+            "%.6f",
+            F.coalesce(F.col(val_col), F.lit(-1.0)),
+        ).alias("v"),
     )
+    if gate is not None:
+        entry = F.when(gate, entry)
+    return F.to_json(F.map_from_entries(F.array_sort(F.collect_list(entry))))
 
 
 def _scale_boxes_half(col):
