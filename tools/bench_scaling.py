@@ -14,6 +14,8 @@ Protocol (north rule, BASELINE.json):
 
 Usage:  python tools/bench_scaling.py [n_docs]           # orchestrator
         python tools/bench_scaling.py --submit [n_docs]  # via spark-submit
+        python tools/bench_scaling.py --skew [n_docs]    # giants @ every
+                                                         # 100th doc, 60×
         python tools/bench_scaling.py --worker M P D     # one measured run
 
 ``--submit`` runs the same tier protocol through the REAL ``spark-submit
@@ -98,7 +100,8 @@ def worker(master: str, shuffle_partitions: int, corpus: str) -> None:
     spark.stop()
 
 
-def _submit_cmd(master: str, shuffle: int, out_json: str) -> list[str]:
+def _submit_cmd(master: str, shuffle: int, out_json: str,
+                corpus: str = CORPUS) -> list[str]:
     """spark-submit invocation for one tier: engine from the zip alone."""
     import shutil
 
@@ -115,17 +118,24 @@ def _submit_cmd(master: str, shuffle: int, out_json: str) -> list[str]:
         "--conf", "spark.ui.enabled=false",
         "--py-files", build_zip(),
         os.path.join(repo, "tools", "submit_job.py"),
-        CORPUS, out_json,
+        corpus, out_json,
     ]
 
 
-def orchestrate(n_docs: int, via_submit: bool = False) -> dict:
+def orchestrate(n_docs: int, via_submit: bool = False,
+                skew: bool = False) -> dict:
+    """``skew=True`` turns the giant-document knob up 5× (a giant with
+    60× the median span count every 100th doc instead of every 500th) so
+    the salted two-stage aggregation — not the narrow map — is the
+    binding skew mechanism (VERDICT r4 #6); same protocol otherwise."""
     from docling_metrics_spark.datagen import write_corpus
     from docling_metrics_spark.session import build_session
 
-    if not os.path.exists(os.path.join(CORPUS, "_SUCCESS")):
+    corpus = CORPUS + ("_skew100" if skew else "")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         spark = build_session(master="local[8]", shuffle_partitions=8)
-        write_corpus(spark, CORPUS, n_docs=n_docs, partitions=128)
+        kw = {"skew_every": 100, "skew_factor": 60} if skew else {}
+        write_corpus(spark, corpus, n_docs=n_docs, partitions=128, **kw)
         spark.stop()
 
     results = {}
@@ -153,7 +163,7 @@ def orchestrate(n_docs: int, via_submit: bool = False) -> dict:
                 env["PYSPARK_DRIVER_PYTHON"] = sys.executable
                 out_json = f"/tmp/dms_submit_scale_{master.strip('local[]')}.json"
                 cmd = ["taskset", "-c", cores] + _submit_cmd(
-                    master, shuffle, out_json
+                    master, shuffle, out_json, corpus
                 )
                 cwd = "/tmp"
                 tag = "SUBMIT_RESULT "
@@ -162,7 +172,7 @@ def orchestrate(n_docs: int, via_submit: bool = False) -> dict:
                     os.path.dirname(os.path.abspath(__file__)))}
                 cmd = ["taskset", "-c", cores, sys.executable,
                        os.path.abspath(__file__), "--worker", master,
-                       str(shuffle), CORPUS]
+                       str(shuffle), corpus]
                 cwd = None
                 tag = "WORKER_RESULT "
             out = subprocess.run(
@@ -208,6 +218,8 @@ def orchestrate(n_docs: int, via_submit: bool = False) -> dict:
         "pass": eff_2_8 >= 0.8 or eff_8_32 >= 0.8,
         "span_equal_rate": results["local[8]"]["span_equal_rate"],
     }
+    if skew:
+        report["skew"] = {"skew_every": 100, "skew_factor": 60}
     print(json.dumps(report))
     return report
 
@@ -218,6 +230,10 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--submit":
         orchestrate(
             int(sys.argv[2]) if len(sys.argv) > 2 else 20000, via_submit=True
+        )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
+        orchestrate(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 20000, skew=True
         )
     else:
         orchestrate(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
