@@ -124,11 +124,6 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
 
     shared: dict[str, list] = {}
 
-    def _invalidate(path: str) -> None:
-        marker = os.path.join(path, "_DMS_INPUT")
-        if os.path.exists(marker):
-            os.remove(marker)
-
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -140,7 +135,7 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
                 # LIVE fused kernel, so every flagship iteration rebuilds
                 # the shared per-doc table (extraction_summary then reuses
                 # it — disclosed below)
-                _invalidate(Q._FLAGSHIP_PERDOC_PATH)
+                Q.invalidate_cache(Q._FLAGSHIP_PERDOC_PATH)
             ev0 = len(Q.CACHE_EVENTS)
             t0 = time.time()
             df = fn(spark, sf_dir)

@@ -787,6 +787,12 @@ def _src_fingerprint() -> str:
         _os.path.join(pkg, "datagen.py"),
         _os.path.join(pkg, "extraction", "html_extract.py"),
         _os.path.join(pkg, "operators", "udfs.py"),
+        # pipeline.py + skew.py feed the CACHED flagship per-doc table
+        # (round-5 sharing) — without them here, an edit to run_pipeline
+        # or the salted aggregation would serve stale cached results to
+        # the flagship, extraction_summary, AND their DuckDB oracles.
+        _os.path.join(pkg, "pipeline.py"),
+        _os.path.join(pkg, "operators", "skew.py"),
         _os.path.abspath(__file__.rstrip("c")),
     ]
     kdir = _os.path.join(pkg, "kernels")
@@ -809,8 +815,11 @@ _SRC_TAG = _src_fingerprint()
 # Per-query synthetic-corpus caps for the heavy UDF operators ("no silent
 # caps": bench.py reports these in its JSON output whenever a cap binds).
 CORPUS_CAPS: dict[str, int] = {
+    # extraction_summary has no cap of its own: it re-aggregates the
+    # SHARED flagship per-doc table, so extract_spans_pipeline's cap is
+    # the one that binds (keeping a second entry here would make the
+    # bench's no-silent-caps disclosure state a cap that doesn't bind).
     "extract_spans_pipeline": 100_000,
-    "extraction_summary": 100_000,
     "teds_table_pairs": 500,
     "layout_map": 500,
     "layout_map_dataset": 500,
@@ -870,20 +879,24 @@ def _flagship_perdoc_table(spark, sf_dir):
     invalidates the marker before each flagship timing so the flagship
     number always prices the live kernel, and discloses reuse by any
     other query via CACHE_EVENTS → shared_intermediates."""
-    from docling_metrics_spark.pipeline import run_pipeline
-
-    def build():
-        # no orderBy: the pipeline's contract is narrow/shuffle-free
-        # (tests/test_plans.py asserts it on run_pipeline itself)
-        return run_pipeline(
-            _corpus(spark, sf_dir, cap=CORPUS_CAPS["extract_spans_pipeline"])
-        )
-
     return _cached_materialize(
         spark,
         _FLAGSHIP_PERDOC_PATH,
         f"{sf_dir}|{CORPUS_CAPS['extract_spans_pipeline']}",
-        build,
+        lambda: _flagship_build_df(spark, sf_dir),
+    )
+
+
+def _flagship_build_df(spark, sf_dir):
+    """The flagship's BUILD plan — the exact DataFrame the shared per-doc
+    materialize executes. Module-level so tests/test_plans.py asserts the
+    narrow/one-Arrow-crossing contract on THIS plan, not a hand-built
+    twin that could drift from it. No orderBy: the pipeline's contract is
+    narrow/shuffle-free until the final aggregation."""
+    from docling_metrics_spark.pipeline import run_pipeline
+
+    return run_pipeline(
+        _corpus(spark, sf_dir, cap=CORPUS_CAPS["extract_spans_pipeline"])
     )
 
 
@@ -898,9 +911,7 @@ def extract_spans_pipeline(spark, sf_dir):
     return _flagship_perdoc_table(spark, sf_dir)
 
 
-def _summary_oracle_sql(
-    perdoc_path: str = f"/tmp/dms_flagship_perdoc_{_SRC_TAG}",
-) -> str:
+def _summary_oracle_sql(perdoc_path: str = _FLAGSHIP_PERDOC_PATH) -> str:
     """DuckDB re-aggregation of the materialized per-doc metric rows: the
     cross-engine twin of ``salted_agg`` (sum/cnt/avg/min/max per metric,
     null-skipping), proving the salted two-stage decomposition equals a
@@ -1125,9 +1136,10 @@ def token_edit_distance_pairs(spark, sf_dir):
     # but per the repo's no-silent-caps rule (ADVICE r4) any dropped row
     # is counted, warned about, and surfaced in bench JSON via
     # QUERY_COUNTERS so rows can never vanish without a runtime signal
-    n_dropped = int(
-        t.filter(~F.col("tok_err") & F.col("enc_a").isNull()).count()
-    )
+    # exact 3-valued-logic complement of the kept filter below — a row
+    # with NULL tok_err must be counted as dropped, not skipped by both
+    kept = F.col("tok_err") | F.col("enc_a").isNotNull()
+    n_dropped = int(t.filter(~F.coalesce(kept, F.lit(False))).count())
     QUERY_COUNTERS["token_edit_distance_pairs_unencodable_dropped"] = n_dropped
     if n_dropped:
         import warnings
@@ -1138,7 +1150,7 @@ def token_edit_distance_pairs(spark, sf_dir):
             "encoding)",
             stacklevel=2,
         )
-    return t.filter(F.col("tok_err") | F.col("enc_a").isNotNull()).select(
+    return t.filter(kept).select(
         "gt_id", "pred_id",
         *[F.round(F.col(f.name), 6).alias(f.name)
           for f in TEXT_SCORES_TYPE.fields],
@@ -1439,6 +1451,18 @@ def _cached_materialize(spark, path: str, tag: str, build):
     else:
         CACHE_EVENTS.append((path, "reuse"))
     return spark.read.parquet(path)
+
+
+def invalidate_cache(path: str) -> None:
+    """Force the next `_cached_materialize` on ``path`` to rebuild (drops
+    the marker, not the data). bench.py calls this before each flagship
+    timing so the headline always prices the live kernel — keep the
+    marker filename knowledge HERE, next to the code that writes it."""
+    import os
+
+    marker = os.path.join(path, "_DMS_INPUT")
+    if os.path.exists(marker):
+        os.remove(marker)
 
 
 def _tore_cm_table(spark, sf_dir):

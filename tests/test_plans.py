@@ -242,18 +242,12 @@ def test_flagship_plan_shape(spark):
     evaluation — extract + text + TEDS + mAP fused into a single crossing
     (the unfused plan ran two chained ArrowEvalPython stages and shipped
     the extracted spans across the boundary twice). The registered query
-    returns the materialized table, so the plan under test is constructed
-    the same way `_flagship_perdoc_table`'s build() does."""
-    from docling_metrics_spark.pipeline import run_pipeline
-    from docling_metrics_spark.plans.queries import CORPUS_CAPS, _corpus
+    returns the materialized table; `_flagship_build_df` IS the build
+    the materialize executes, so a shuffle added there cannot ship
+    unasserted."""
+    from docling_metrics_spark.plans.queries import _flagship_build_df
 
-    build_df = run_pipeline(
-        _corpus(
-            spark,
-            "/root/testdata/sf0.001",
-            cap=CORPUS_CAPS["extract_spans_pipeline"],
-        )
-    )
+    build_df = _flagship_build_df(spark, "/root/testdata/sf0.001")
     plan = build_df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
@@ -325,6 +319,9 @@ def test_materialized_derivations_are_jvm_only(spark):
         Q.teds_bracket_pairs,
         Q.grits_cells_pairs,
         Q.token_edit_distance_pairs,
+        # streaming twin of extraction_summary: the returned plan must be
+        # parquet-read + agg; its only UDF execution is the stream sink
+        Q.streaming_extract,
     ):
         plan = _plan(fn(spark, sf))
         for node in (

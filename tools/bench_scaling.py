@@ -232,13 +232,16 @@ def orchestrate(n_docs: int, via_submit: bool = False,
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(sys.argv[2], int(sys.argv[3]), sys.argv[4])
-    elif len(sys.argv) > 1 and sys.argv[1] == "--submit":
-        orchestrate(
-            int(sys.argv[2]) if len(sys.argv) > 2 else 20000, via_submit=True
-        )
-    elif len(sys.argv) > 1 and sys.argv[1] == "--skew":
-        orchestrate(
-            int(sys.argv[2]) if len(sys.argv) > 2 else 20000, skew=True
-        )
     else:
-        orchestrate(int(sys.argv[1]) if len(sys.argv) > 1 else 20000)
+        # flags compose: --submit --skew 40000 runs the skewed corpus
+        # through the packaged spark-submit path (orchestrate threads the
+        # corpus choice into _submit_cmd)
+        args = sys.argv[1:]
+        via_submit = "--submit" in args
+        skew = "--skew" in args
+        rest = [a for a in args if a not in ("--submit", "--skew")]
+        if any(a.startswith("-") for a in rest):
+            sys.exit(f"unknown flag(s): {rest} "
+                     "(expected [--submit] [--skew] [n_docs])")
+        n_docs = int(rest[0]) if rest else 20000
+        orchestrate(n_docs, via_submit=via_submit, skew=skew)
