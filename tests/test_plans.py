@@ -362,3 +362,34 @@ def test_cached_materialize_invalidates_on_tag_change(spark, tmp_path):
     assert len(calls) == 1, "same tag must not rebuild"
     assert _cached_materialize(spark, path, "sfB|10", build).count() == 3
     assert len(calls) == 2, "tag change must rebuild"
+
+
+def test_invalidate_cache_forces_rebuild_and_logs_build_event(spark, tmp_path):
+    """bench.py's flagship headline depends on this contract: after
+    invalidate_cache(path), the next _cached_materialize with the SAME
+    tag must re-run the build (pricing the live kernel) and log a
+    'build' CACHE_EVENT — if invalidation ever became a no-op, the
+    headline would silently report cached-parquet-read speed as kernel
+    throughput."""
+    from docling_metrics_spark.plans.queries import (
+        CACHE_EVENTS,
+        _cached_materialize,
+        invalidate_cache,
+    )
+
+    path = str(tmp_path / "cache")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(2).withColumnRenamed("id", "v")
+
+    _cached_materialize(spark, path, "sfA|10", build)
+    assert len(calls) == 1
+    invalidate_cache(path)
+    ev0 = len(CACHE_EVENTS)
+    _cached_materialize(spark, path, "sfA|10", build)
+    assert len(calls) == 2, "invalidate_cache must force a rebuild"
+    assert CACHE_EVENTS[ev0:] == [(path, "build")]
+    invalidate_cache(path)  # idempotent on a missing marker
+    invalidate_cache(path)
