@@ -134,7 +134,12 @@ def run_bench(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
                 # the flagship headline (docs/sec) must always price the
                 # LIVE fused kernel, so every flagship iteration rebuilds
                 # the shared per-doc table (extraction_summary then reuses
-                # it — disclosed below)
+                # it — disclosed below). NOTE the timed region therefore
+                # also includes the per-doc table's parquet write + a
+                # noop read-back scan — the production checkpoint shape
+                # the north rule requires, but a cost the r1-r4 flagship
+                # numbers (pre-sharing, pure kernel) did NOT carry; the
+                # r4→r5 flagship comparison in BASELINE.md notes this.
                 Q.invalidate_cache(Q._FLAGSHIP_PERDOC_PATH)
             ev0 = len(Q.CACHE_EVENTS)
             t0 = time.time()

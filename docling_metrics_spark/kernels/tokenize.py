@@ -16,6 +16,11 @@ RE2-vs-Python-`re` semantics are mirrored explicitly:
 
 - RE2 character classes (``\\b \\d \\w``) are ASCII-only → every pattern
   is compiled with ``re.ASCII``.
+- RE2 ``(?i)`` is Unicode SIMPLE case folding (so ``s`` folds with
+  ``ſ`` U+017F, but ``i`` does NOT fold with Turkic ``ı``/``İ``), while
+  its ``\\b`` stays ASCII — neither of Python's flag sets reproduces
+  that mix, so folded literals are spelled as explicit fold-orbit
+  classes (:func:`_ci`) and ``(?i)`` is never used.
 - RE2 ``$`` matches end-of-text only (no final-newline magic) → ``\\Z``.
 - RE2 ``\\s`` is ``[\\t\\n\\f\\r ]`` (NO vertical tab) → spelled out.
 - ``\\0`` (whole match) in RE2 replacements → ``\\g<0>``.
@@ -79,24 +84,47 @@ _ENDING_QUOTES = [
     (re.compile(r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", _A), r"\1 \2 "),
 ]
 
+# RE2 `(?i)` performs Unicode SIMPLE case folding (CaseFolding.txt C+S
+# entries) even though its \b/\w stay ASCII — so the reference's
+# case-insensitive contraction rules fold 'ſ' (U+017F) into the s orbit
+# and 'K' (U+212A) into the k orbit, but do NOT fold 'ı'/'İ' (Turkic-only
+# fold entries). Python can't mix ASCII \b with Unicode folding in one
+# compiled flag set, and Python's own Unicode IGNORECASE OVER-folds
+# (it matches ı/İ with i, per the re docs) — so each folded literal is
+# spelled as its exact RE2 fold orbit and the patterns compile with
+# re.ASCII and NO IGNORECASE.
+_FOLD_ORBITS = {"s": "sSſ", "k": "kKK"}
+
+
+def _ci(literal: str) -> str:
+    """``literal`` as a regex matching RE2's (?i) simple-fold semantics."""
+    out = []
+    for ch in literal:
+        if ch.isalpha() and ch.isascii():
+            out.append("[" + _FOLD_ORBITS.get(ch, ch + ch.upper()) + "]")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
 # treebank.cpp:55-65 — contractions, case-insensitive, replacement
 # " \1 \2 ". Note `more'n` (the C++ pattern), not NLTK's `mor'n`; and the
 # wanna rule CONSUMES a trailing RE2-\s (no lookahead in RE2).
 _CONTRACTIONS2 = [
-    re.compile(r"(?i)\b(can)(not)\b", _A),
-    re.compile(r"(?i)\b(d)('ye)\b", _A),
-    re.compile(r"(?i)\b(gim)(me)\b", _A),
-    re.compile(r"(?i)\b(gon)(na)\b", _A),
-    re.compile(r"(?i)\b(got)(ta)\b", _A),
-    re.compile(r"(?i)\b(lem)(me)\b", _A),
-    re.compile(r"(?i)\b(more)('n)\b", _A),
-    re.compile(r"(?i)\b(wan)(na)[\t\n\f\r ]", _A),
+    re.compile(rf"\b({_ci('can')})({_ci('not')})\b", _A),
+    re.compile(rf"\b({_ci('d')})({_ci(chr(39) + 'ye')})\b", _A),
+    re.compile(rf"\b({_ci('gim')})({_ci('me')})\b", _A),
+    re.compile(rf"\b({_ci('gon')})({_ci('na')})\b", _A),
+    re.compile(rf"\b({_ci('got')})({_ci('ta')})\b", _A),
+    re.compile(rf"\b({_ci('lem')})({_ci('me')})\b", _A),
+    re.compile(rf"\b({_ci('more')})({_ci(chr(39) + 'n')})\b", _A),
+    re.compile(rf"\b({_ci('wan')})({_ci('na')})[\t\n\f\r ]", _A),
 ]
 
 # treebank.cpp:67-68.
 _CONTRACTIONS3 = [
-    re.compile(r"(?i) ('t)(is)\b", _A),
-    re.compile(r"(?i) ('t)(was)\b", _A),
+    re.compile(rf" ({_ci(chr(39) + 't')})({_ci('is')})\b", _A),
+    re.compile(rf" ({_ci(chr(39) + 't')})({_ci('was')})\b", _A),
 ]
 
 # istringstream `>>` split set: C-locale isspace (includes \v, which

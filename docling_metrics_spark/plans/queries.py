@@ -1224,23 +1224,30 @@ def teds_table_pairs(spark, sf_dir):
 _MAP_DOC_POOLS_PATH = f"/tmp/dms_map_doc_pools_{_SRC_TAG}"
 
 
+# The 12 (alias, pool column, area, thr_idx) conditions that assemble the
+# per-document COCO surface — the ONE spec both the Spark query
+# (layout_map) and its DuckDB oracle (_map_doc_oracle) derive from, so
+# the two sides cannot drift apart through an edit to only one copy.
+_MAP_SURFACE_SPECS = [
+    ("map", "ap", "all", None), ("map_50", "ap", "all", 0),
+    ("map_75", "ap", "all", 5), ("map_small", "ap", "small", None),
+    ("map_medium", "ap", "medium", None),
+    ("map_large", "ap", "large", None),
+    ("mar_1", "ar_1", "all", None), ("mar_10", "ar_10", "all", None),
+    ("mar_100", "ar_100", "all", None),
+    ("mar_small", "ar_100", "small", None),
+    ("mar_medium", "ar_100", "medium", None),
+    ("mar_large", "ar_100", "large", None),
+]
+
+
 def _map_doc_oracle() -> str:
     """DuckDB re-derivation of the per-document COCO surface from the
     materialized per-(doc, cls, thr_idx, area) AP/AR pool rows: the same
     nan-skipping means, −1.0 empty sentinels, and %.6f per-class JSONs the
     Spark query derives from the identical table."""
     scalars = []
-    for alias, col, area, thr in [
-        ("map", "ap", "all", None), ("map_50", "ap", "all", 0),
-        ("map_75", "ap", "all", 5), ("map_small", "ap", "small", None),
-        ("map_medium", "ap", "medium", None),
-        ("map_large", "ap", "large", None),
-        ("mar_1", "ar_1", "all", None), ("mar_10", "ar_10", "all", None),
-        ("mar_100", "ar_100", "all", None),
-        ("mar_small", "ar_100", "small", None),
-        ("mar_medium", "ar_100", "medium", None),
-        ("mar_large", "ar_100", "large", None),
-    ]:
+    for alias, col, area, thr in _MAP_SURFACE_SPECS:
         cond = f"area = '{area}'" + (
             "" if thr is None else f" AND thr_idx = {thr}"
         )
@@ -1316,17 +1323,7 @@ def layout_map(spark, sf_dir):
     # the same pass. One scan, two narrowing shuffles, no join. The
     # algebra (nan-skipping means, −1.0 sentinels) is unchanged and stays
     # pinned by the DuckDB oracle, which re-derives single-level.
-    specs = [
-        ("map", "ap", "all", None), ("map_50", "ap", "all", 0),
-        ("map_75", "ap", "all", 5), ("map_small", "ap", "small", None),
-        ("map_medium", "ap", "medium", None),
-        ("map_large", "ap", "large", None),
-        ("mar_1", "ar_1", "all", None), ("mar_10", "ar_10", "all", None),
-        ("mar_100", "ar_100", "all", None),
-        ("mar_small", "ar_100", "small", None),
-        ("mar_medium", "ar_100", "medium", None),
-        ("mar_large", "ar_100", "large", None),
-    ]
+    specs = _MAP_SURFACE_SPECS
 
     def _cond(area, thr):
         c = F.col("area") == area

@@ -179,7 +179,20 @@ def test_streaming_extract_summary_matches_batch_summary(spark):
         )
         .collect()[0]
     )
-    assert stream_row.asDict() == batch_row.asDict()
+    # Per-key compare with a one-unit-in-the-last-rounded-place allowance
+    # on floats: both sides sum the same 400 per-doc doubles in DIFFERENT
+    # partition orders, so an aggregate sitting within an ulp of its
+    # 4dp/6dp HALF_UP boundary may legitimately round to adjacent grid
+    # points (the .5-edge hazard in CLAUDE.md) — any real stream/batch
+    # divergence is orders of magnitude larger than one grid step.
+    s, b = stream_row.asDict(), batch_row.asDict()
+    assert s.keys() == b.keys()
+    for k in s:
+        if isinstance(s[k], float):
+            step = 1e-4 if k.startswith("sum") else 1e-6
+            assert abs(s[k] - b[k]) <= step * 1.001, (k, s[k], b[k])
+        else:
+            assert s[k] == b[k], (k, s[k], b[k])
     assert stream_row["cnt_span_equal_int"] == 400
 
 

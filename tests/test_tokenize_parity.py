@@ -58,14 +58,35 @@ _CPP_RULES_ENDING = [
     (r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", r"\1 \2 "),
 ]
 # treebank.cpp:55-65 — note (more)('n), NOT NLTK's (mor)('n); the wanna
-# rule consumes a trailing RE2-\s (RE2 has no lookahead).
+# rule consumes a trailing RE2-\s (RE2 has no lookahead). RE2's `(?i)`
+# is Unicode SIMPLE case folding while `\b` stays ASCII — Python has no
+# flag combination with that mix, so the transcript spells each folded
+# letter as its RE2 fold orbit: {x, X} for ASCII letters, plus 'ſ'
+# (U+017F) in the s orbit; Turkic 'ı'/'İ' do NOT fold (their
+# CaseFolding.txt entries are T/F-only, which simple folding skips —
+# Python's own Unicode IGNORECASE would wrongly match them).
+def _orb(lit):
+    t = {"s": "[sSſ]"}
+    return "".join(
+        t.get(c, f"[{c}{c.upper()}]") if c.isalpha() else c for c in lit
+    )
+
+
 _CPP_RULES_CONTRACTIONS2 = [
-    r"(?i)\b(can)(not)\b", r"(?i)\b(d)('ye)\b", r"(?i)\b(gim)(me)\b",
-    r"(?i)\b(gon)(na)\b", r"(?i)\b(got)(ta)\b", r"(?i)\b(lem)(me)\b",
-    r"(?i)\b(more)('n)\b", r"(?i)\b(wan)(na)[\t\n\f\r ]",
+    rf"\b({_orb('can')})({_orb('not')})\b",
+    rf"\b({_orb('d')})('{_orb('ye')})\b",
+    rf"\b({_orb('gim')})({_orb('me')})\b",
+    rf"\b({_orb('gon')})({_orb('na')})\b",
+    rf"\b({_orb('got')})({_orb('ta')})\b",
+    rf"\b({_orb('lem')})({_orb('me')})\b",
+    rf"\b({_orb('more')})('{_orb('n')})\b",
+    rf"\b({_orb('wan')})({_orb('na')})[\t\n\f\r ]",
 ]
 # treebank.cpp:67-68
-_CPP_RULES_CONTRACTIONS3 = [r"(?i) ('t)(is)\b", r"(?i) ('t)(was)\b"]
+_CPP_RULES_CONTRACTIONS3 = [
+    rf" ('{_orb('t')})({_orb('is')})\b",
+    rf" ('{_orb('t')})({_orb('was')})\b",
+]
 
 
 def _cpp_chain_tokenize(text: str, convert_parentheses: bool = False):
@@ -151,6 +172,16 @@ FIXTURES = [
         ["semi", ";", "colon", "@", "at", "#", "hash", "%", "pct",
          "&", "amp"],
     ),
+    # RE2 (?i) Unicode simple folding: 'ſ' (U+017F) is in the s orbit,
+    # so ('t)(iſ) matches — but only where the trailing \b holds: ſ is a
+    # NON-word char for RE2's ASCII \b, so ſ→x is a boundary while
+    # ſ→space is not (the second 'tiſ survives whole; its period is
+    # split by the end-of-text punctuation rule, not the contraction)
+    (" 'tiſx 'tiſ.", ["'t", "iſ", "x", "'tiſ", "."]),
+    ("CANNOſ gonna", ["CANNOſ", "gon", "na"]),  # ſ≠t: cannot rule no-fire
+    # Turkic ı/İ do NOT simple-fold with i — 'tİs stays whole (Python's
+    # Unicode IGNORECASE would wrongly split it; RE2 does not)
+    (" 'tİs 'tıs", ["'tİs", "'tıs"]),
 ]
 
 
@@ -174,7 +205,7 @@ def test_convert_parentheses_mode():
 _FUZZ_ALPHABET = st.sampled_from(
     list("ab N.\"'`,:;?!()-$%&@#<>{}[]\t\n\v") + ["can", "not", "wanna",
          "more'n", "n't", "'ll", "'s", "''", "...", "--", "'tis", "3.88",
-         "é", "中"]
+         "é", "中", "ſ", "'tiſ", "'twaſ", "ı", "İ"]
 )
 
 

@@ -131,7 +131,10 @@ def orchestrate(n_docs: int, via_submit: bool = False,
     from docling_metrics_spark.datagen import write_corpus
     from docling_metrics_spark.session import build_session
 
-    corpus = CORPUS + ("_skew100" if skew else "")
+    # the path encodes n_docs AND the skew parameters: a _SUCCESS-only
+    # check on a shared path would silently benchmark a stale corpus when
+    # either knob changes between invocations
+    corpus = f"{CORPUS}{'_skew100x60' if skew else ''}_{n_docs}"
     if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
         spark = build_session(master="local[8]", shuffle_partitions=8)
         kw = {"skew_every": 100, "skew_factor": 60} if skew else {}
