@@ -215,3 +215,54 @@ def test_kernel_equals_cpp_chain_fuzz(parts):
     text = "".join(parts)
     assert treebank_tokenize(text) == _cpp_chain_tokenize(text)
     assert treebank_tokenize(text, True) == _cpp_chain_tokenize(text, True)
+
+
+# --- independent ASCII cross-check of the fold-orbit rewrite ---------------
+# Kernel and transcript above BOTH spell contractions as fold-orbit
+# classes, so a shared mis-transcription there would pass the fuzz. For
+# ASCII-only text, `(?i)` + re.ASCII is an UNAMBIGUOUS second
+# implementation (folding questions only arise on non-ASCII), so pin the
+# orbit-class chain against it to break the shared assumption.
+
+_CI_CONTRACTIONS2 = [
+    r"(?i)\b(can)(not)\b", r"(?i)\b(d)('ye)\b", r"(?i)\b(gim)(me)\b",
+    r"(?i)\b(gon)(na)\b", r"(?i)\b(got)(ta)\b", r"(?i)\b(lem)(me)\b",
+    r"(?i)\b(more)('n)\b", r"(?i)\b(wan)(na)[\t\n\f\r ]",
+]
+_CI_CONTRACTIONS3 = [r"(?i) ('t)(is)\b", r"(?i) ('t)(was)\b"]
+
+
+def _cpp_chain_tokenize_ci(text, convert_parentheses=False):
+    """_cpp_chain_tokenize with the contraction stages swapped to the
+    (?i)-flag form — only valid as an oracle on ASCII-only input."""
+    for pat, repl in _CPP_RULES_STARTING:
+        text = re.sub(pat, repl, text, flags=_A)
+    for pat, repl in _CPP_RULES_PUNCT:
+        text = re.sub(pat, repl, text, flags=_A)
+    text = re.sub(_CPP_RULE_PARENS[0], _CPP_RULE_PARENS[1], text, flags=_A)
+    if convert_parentheses:
+        for pat, repl in _CPP_RULES_CONVERT:
+            text = re.sub(pat, repl, text, flags=_A)
+    text = re.sub(_CPP_RULE_DASHES[0], _CPP_RULE_DASHES[1], text, flags=_A)
+    text = " " + text + " "
+    for pat, repl in _CPP_RULES_ENDING:
+        text = re.sub(pat, repl, text, flags=_A)
+    for pat in _CI_CONTRACTIONS2:
+        text = re.sub(pat, r" \1 \2 ", text, flags=_A)
+    for pat in _CI_CONTRACTIONS3:
+        text = re.sub(pat, r" \1 \2 ", text, flags=_A)
+    return re.findall(r"[^ \t\n\v\f\r]+", text, flags=_A)
+
+
+_ASCII_FUZZ = st.sampled_from(
+    list("abWN.\"'`,:;?!()-$%&@#<>{}[]\t\n\v ") + ["can", "NOT", "wanna",
+         "more'n", "n't", "'ll", "'s", "''", "...", "--", "'tis", "'TWAS",
+         "D'YE", "gim", "LEMME", "3.88"]
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(_ASCII_FUZZ, max_size=14))
+def test_orbit_chain_equals_ignorecase_chain_on_ascii(parts):
+    text = "".join(parts)
+    assert treebank_tokenize(text) == _cpp_chain_tokenize_ci(text)
